@@ -1,0 +1,140 @@
+"""Rotary position embeddings, TPU-style.
+
+The reference uses two distinct RoPE conventions:
+
+1. **Half-split 2D RoPE** for image patch tokens (reference:
+   src/model/encoder/backbone/croco/pos_embed.py:112-159 and the in-tree CUDA
+   kernel src/model/encoder/backbone/croco/curope/kernels.cu): the head dim is
+   split into a Y half and an X half; each half gets GPT-NeoX-style 1D RoPE
+   (cos/sin of D/4 frequencies concatenated twice, rotate = [-x2, x1]) keyed
+   by the token's integer (y, x) grid position.
+
+2. **Interleaved-pair n-D RoPE** for camera tokens / 3D variant (reference:
+   src/misc/rope_utils.py:140-310): frequencies repeat-interleaved by 2,
+   rotate = interleaved (-odd, even) pairs; factorized over axes with a
+   per-axis dim split.
+
+On TPU we precompute cos/sin tables once per (grid, dim) as constants folded
+into the jitted graph, and apply them as fused elementwise ops — there's no
+benefit to an in-place custom kernel here (XLA fuses mul/add chains into the
+surrounding matmuls). Everything computes in float32 and casts back to the
+input dtype, matching the reference numerics.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Flavor 1: half-split 2D RoPE (image tokens)
+# ---------------------------------------------------------------------------
+
+def grid_positions(h: int, w: int) -> np.ndarray:
+    """Integer (y, x) positions for an h x w patch grid, row-major. (N, 2)."""
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    return np.stack([ys.reshape(-1), xs.reshape(-1)], axis=-1)
+
+
+def make_rope_2d_tables(
+    positions: np.ndarray, head_dim: int, base: float = 100.0
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Precompute (cos, sin) of shape (N, head_dim) for half-split 2D RoPE.
+
+    Layout: [y-half (head_dim/2) | x-half (head_dim/2)]; within each half the
+    1D tables are [freqs, freqs] concatenated (NeoX convention).
+    """
+    d_half = head_dim // 2
+    d_quarter = d_half // 2
+    inv_freq = 1.0 / (base ** (np.arange(0, d_half, 2, dtype=np.float64) / d_half))
+    assert inv_freq.shape[0] == d_quarter
+
+    def table(pos_1d: np.ndarray) -> np.ndarray:
+        f = np.einsum("i,j->ij", pos_1d.astype(np.float64), inv_freq)
+        return np.concatenate([f, f], axis=-1)  # (N, d_half)
+
+    fy = table(positions[:, 0])
+    fx = table(positions[:, 1])
+    f = np.concatenate([fy, fx], axis=-1)  # (N, head_dim)
+    return jnp.asarray(np.cos(f), jnp.float32), jnp.asarray(np.sin(f), jnp.float32)
+
+
+def _rotate_half_within(x: jnp.ndarray) -> jnp.ndarray:
+    """NeoX rotate on the last dim: [-x2, x1] where x = [x1, x2]."""
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope_2d(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Apply half-split 2D RoPE.
+
+    x: (..., N, head_dim); cos/sin: (N, head_dim) (broadcast over leading).
+    """
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    y_half, x_half = jnp.split(xf, 2, axis=-1)
+    rot = jnp.concatenate(
+        [_rotate_half_within(y_half), _rotate_half_within(x_half)], axis=-1
+    )
+    out = xf * cos + rot * sin
+    return out.astype(orig_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Flavor 2: interleaved-pair n-D RoPE (camera tokens / 3D)
+# ---------------------------------------------------------------------------
+
+def make_rope_nd_tables(
+    rope_dim_list: Sequence[int],
+    sizes: Sequence[int],
+    theta: float | Sequence[float] = 10000.0,
+    theta_rescale: float | Sequence[float] = 1.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Precompute (cos, sin) of shape (prod(sizes), sum(rope_dim_list)).
+
+    Factorized n-D rotary tables, interleaved-pair layout
+    (repeat_interleave by 2), matching reference rope_utils.get_nd_rotary_
+    pos_embed with use_real=True.
+    """
+    n = len(rope_dim_list)
+    thetas = [theta] * n if isinstance(theta, (int, float)) else list(theta)
+    rescales = (
+        [theta_rescale] * n
+        if isinstance(theta_rescale, (int, float))
+        else list(theta_rescale)
+    )
+    axes = [np.arange(s, dtype=np.float64) for s in sizes]
+    grid = np.meshgrid(*axes, indexing="ij")  # n arrays of shape sizes
+
+    cos_parts, sin_parts = [], []
+    for i, dim in enumerate(rope_dim_list):
+        th = thetas[i]
+        if rescales[i] != 1.0:
+            th = th * rescales[i] ** (dim / (dim - 2))
+        inv_freq = 1.0 / (th ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+        f = np.einsum("i,j->ij", grid[i].reshape(-1), inv_freq)  # (S, dim/2)
+        f = np.repeat(f, 2, axis=-1)  # interleave duplicate -> (S, dim)
+        cos_parts.append(np.cos(f))
+        sin_parts.append(np.sin(f))
+    cos = np.concatenate(cos_parts, axis=-1)
+    sin = np.concatenate(sin_parts, axis=-1)
+    return jnp.asarray(cos, jnp.float32), jnp.asarray(sin, jnp.float32)
+
+
+def _rotate_interleaved(x: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise rotate: (a, b) -> (-b, a), interleaved along last dim."""
+    x2 = x.reshape(*x.shape[:-1], -1, 2)
+    a, b = x2[..., 0], x2[..., 1]
+    return jnp.stack([-b, a], axis=-1).reshape(x.shape)
+
+
+def apply_rope_interleaved(
+    x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+) -> jnp.ndarray:
+    """x: (..., S, dim); cos/sin: (S, dim)."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    out = xf * cos + _rotate_interleaved(xf) * sin
+    return out.astype(orig_dtype)

@@ -1,0 +1,149 @@
+"""Model-core tests: shapes, identity-init behavior, gradient flow."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vicasplat_tpu.models import (
+    GaussianAdapterConfig,
+    VicaNetConfig,
+    VicaSplatConfig,
+    init_vicasplat,
+    vicasplat_forward,
+)
+from vicasplat_tpu.models.adapter import adapt_gaussians, sh_degree_mask
+
+
+def tiny_cfg(T=3, use_intrin=True, sh_degree=1):
+    bb = VicaNetConfig(
+        img_size=32,
+        patch_size=16,
+        enc_embed_dim=64,
+        enc_depth=2,
+        enc_num_heads=4,
+        dec_embed_dim=48,
+        dec_depth=4,
+        dec_num_heads=4,
+        use_intrinsic_embedding=use_intrin,
+        temporal_rope_theta=30.0,
+    )
+    return VicaSplatConfig(
+        backbone=bb,
+        gaussian_adapter=GaussianAdapterConfig(sh_degree=sh_degree),
+    )
+
+
+def tiny_batch(key, B=2, T=3, size=32):
+    k1, k2 = jax.random.split(key)
+    images = jax.random.uniform(k1, (B, T, size, size, 3)) * 2 - 1
+    K = jnp.broadcast_to(
+        jnp.array([[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]]),
+        (B, T, 3, 3),
+    )
+    ext = jnp.broadcast_to(jnp.eye(4), (B, T, 4, 4))
+    return {"image": images, "intrinsics": K, "extrinsics": ext}
+
+
+class TestVicaSplatForward:
+    def test_shapes(self):
+        cfg = tiny_cfg()
+        params = init_vicasplat(jax.random.PRNGKey(0), cfg)
+        batch = tiny_batch(jax.random.PRNGKey(1))
+        out = vicasplat_forward(params, cfg, batch, dtype=jnp.float32,
+                                compute_viewspace_depth=True)
+        B, T, H, W = 2, 3, 32, 32
+        d_sh = cfg.gaussian_adapter.d_sh
+        assert out["gaussians"].means.shape == (B, T, H, W, 3)
+        assert out["gaussians"].covariances.shape == (B, T, H, W, 3, 3)
+        assert out["gaussians"].harmonics.shape == (B, T, H, W, 3, d_sh)
+        assert out["gaussians"].opacities.shape == (B, T, H, W)
+        assert out["pred_extrins"].shape == (B, T - 1, 8)
+        assert out["gaussian_camera_extrins"].shape == (B, T, 4, 4)
+        assert out["gaussian_camera_intrins"] is None  # intrinsics embedded
+        assert out["context_view_depths"].shape == (B, T, H, W)
+        assert jnp.isfinite(out["raw_gaussians"]).all()
+
+    def test_zero_init_predicts_identity_pose(self):
+        cfg = tiny_cfg()
+        params = init_vicasplat(jax.random.PRNGKey(0), cfg)
+        batch = tiny_batch(jax.random.PRNGKey(1))
+        out = vicasplat_forward(params, cfg, batch, dtype=jnp.float32)
+        poses = out["gaussian_camera_extrins"]
+        np.testing.assert_allclose(
+            poses, jnp.broadcast_to(jnp.eye(4), poses.shape), atol=1e-5
+        )
+
+    def test_intrinsic_head_path(self):
+        cfg = tiny_cfg(use_intrin=False)
+        params = init_vicasplat(jax.random.PRNGKey(0), cfg)
+        batch = tiny_batch(jax.random.PRNGKey(1))
+        del batch["intrinsics"]
+        out = vicasplat_forward(params, cfg, batch, dtype=jnp.float32)
+        assert out["pred_intrins"].shape == (2, 2)
+        assert out["gaussian_camera_intrins"].shape == (2, 3, 3, 3)[:1] + (3, 3, 3)
+        # zero-init head -> 50 degree FoV
+        np.testing.assert_allclose(
+            out["pred_intrins"], jnp.full((2, 2), jnp.pi * 50 / 180), atol=1e-5
+        )
+
+    def test_distill_mode_skips_gs_head(self):
+        cfg = tiny_cfg()
+        params = init_vicasplat(jax.random.PRNGKey(0), cfg)
+        batch = tiny_batch(jax.random.PRNGKey(1))
+        out = vicasplat_forward(params, cfg, batch, distill=True, dtype=jnp.float32)
+        assert "gaussians" not in out
+        assert out["gaussian_centers"].shape == (2, 3, 32, 32, 3)
+
+    def test_jit_and_grad(self):
+        cfg = tiny_cfg(T=2)
+        params = init_vicasplat(jax.random.PRNGKey(0), cfg)
+        batch = tiny_batch(jax.random.PRNGKey(1), T=2)
+
+        @jax.jit
+        def loss_fn(p):
+            out = vicasplat_forward(p, cfg, batch, dtype=jnp.float32)
+            return (
+                out["gaussians"].means.mean() ** 2
+                + out["pred_extrins"].sum() ** 2
+                + out["gaussians"].opacities.mean()
+            )
+
+        g = jax.grad(loss_fn)(params)
+        leaves = jax.tree.leaves(g)
+        assert all(jnp.isfinite(l).all() for l in leaves)
+        # gradient must reach the encoder patch embed and the camera head
+        assert float(jnp.abs(g["backbone"]["patch_embed"]["proj"]["w"]).max()) > 0
+        assert (
+            float(jnp.abs(g["camera_extrinsic_head"]["proj"]["w"]).max()) > 0
+        )
+
+    def test_remat_matches(self):
+        cfg = tiny_cfg(T=2)
+        params = init_vicasplat(jax.random.PRNGKey(0), cfg)
+        batch = tiny_batch(jax.random.PRNGKey(1), T=2)
+        a = vicasplat_forward(params, cfg, batch, dtype=jnp.float32, remat=False)
+        b = vicasplat_forward(params, cfg, batch, dtype=jnp.float32, remat=True)
+        np.testing.assert_allclose(
+            a["gaussians"].means, b["gaussians"].means, atol=1e-5
+        )
+
+
+class TestAdapter:
+    def test_sh_mask(self):
+        m = sh_degree_mask(2)
+        assert m.shape == (9,)
+        np.testing.assert_allclose(m[0], 1.0)
+        np.testing.assert_allclose(m[1:4], 0.1 * 0.25)
+        np.testing.assert_allclose(m[4:9], 0.1 * 0.25**2)
+
+    def test_covariance_psd(self):
+        cfg = GaussianAdapterConfig(sh_degree=0)
+        raw = jax.random.normal(jax.random.PRNGKey(0), (100, cfg.raw_gs_dim + 3))
+        g = adapt_gaussians(raw, cfg)
+        eigs = jnp.linalg.eigvalsh(g.covariances)
+        assert float(eigs.min()) >= -1e-9
+        assert (g.opacities >= 0).all() and (g.opacities <= 1).all()
+        assert (g.scales <= 0.3 + 1e-6).all()
+        np.testing.assert_allclose(
+            jnp.linalg.norm(g.rotations, axis=-1), 1.0, atol=1e-5
+        )

@@ -1,0 +1,240 @@
+"""Prediction heads: DPT pyramid heads (3D-point center head + Gaussian-param
+head), linear heads, and camera heads.
+
+Parity targets: reference src/model/encoder/heads/{dpt_block.py, dpt_head.py,
+dpt_gs_head.py, linear_head.py, postprocess.py}. The DPT trunk is a 4-level
+feature pyramid built from transformer hook activations (hooks
+[0, 2/3·L, 3/4·L, L] of the mix decoder, dims [enc, dec, dec, dec]), fused
+through RefineNet-style residual conv units; all convs run NHWC/HWIO (TPU
+layout) in the compute dtype.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .layers import (
+    conv2d,
+    conv_init,
+    conv_transpose2d,
+    linear,
+    linear_init,
+    resize_bilinear_align_corners,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DPTConfig:
+    hook_dims: tuple = (1024, 768, 768, 768)  # token dims at the 4 hooks
+    layer_dims: tuple = (96, 192, 384, 768)
+    feature_dim: int = 256
+    last_dim: int = 128
+    num_channels: int = 3
+    patch_size: int = 16
+    head_type: str = "regression"  # or "gs_params"
+    # gs head extras
+    use_input_merger: bool = False
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _rcu_init(key, features):
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1": conv_init(k1, 3, 3, features, features, bias=True),
+        "conv2": conv_init(k2, 3, 3, features, features, bias=True),
+    }
+
+
+def _fusion_init(key, features):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "rcu1": _rcu_init(k1, features),
+        "rcu2": _rcu_init(k2, features),
+        "out_conv": conv_init(k3, 1, 1, features, features, bias=True),
+    }
+
+
+def init_dpt(key, cfg: DPTConfig):
+    keys = jax.random.split(key, 20)
+    ld = cfg.layer_dims
+    hd = cfg.hook_dims
+    fd = cfg.feature_dim
+    params = {
+        # per-hook projection + re-sampling ("act_postprocess")
+        "proj0": conv_init(keys[0], 1, 1, hd[0], ld[0]),
+        "up0": conv_init(keys[1], 4, 4, ld[0], ld[0]),   # conv_transpose x4
+        "proj1": conv_init(keys[2], 1, 1, hd[1], ld[1]),
+        "up1": conv_init(keys[3], 2, 2, ld[1], ld[1]),   # conv_transpose x2
+        "proj2": conv_init(keys[4], 1, 1, hd[2], ld[2]),
+        "proj3": conv_init(keys[5], 1, 1, hd[3], ld[3]),
+        "down3": conv_init(keys[6], 3, 3, ld[3], ld[3]),  # stride-2 conv
+        # scratch 3x3 projections to the shared feature dim (no bias)
+        "scratch0": conv_init(keys[7], 3, 3, ld[0], fd, bias=False),
+        "scratch1": conv_init(keys[8], 3, 3, ld[1], fd, bias=False),
+        "scratch2": conv_init(keys[9], 3, 3, ld[2], fd, bias=False),
+        "scratch3": conv_init(keys[10], 3, 3, ld[3], fd, bias=False),
+        # refinenets (index 1..4 like the reference; 4 consumes the deepest)
+        "refinenet1": _fusion_init(keys[11], fd),
+        "refinenet2": _fusion_init(keys[12], fd),
+        "refinenet3": _fusion_init(keys[13], fd),
+        "refinenet4": _fusion_init(keys[14], fd),
+    }
+    if cfg.head_type == "regression":
+        params["head"] = {
+            "conv1": conv_init(keys[15], 3, 3, fd, fd // 2),
+            "conv2": conv_init(keys[16], 3, 3, fd // 2, cfg.last_dim),
+            "conv3": conv_init(keys[17], 1, 1, cfg.last_dim, cfg.num_channels),
+        }
+    elif cfg.head_type == "gs_params":
+        params["head"] = {
+            "conv1": conv_init(keys[15], 3, 3, fd, fd, bias=False),
+            "conv2": conv_init(keys[16], 1, 1, fd, cfg.num_channels),
+        }
+    else:
+        raise ValueError(cfg.head_type)
+    if cfg.use_input_merger:
+        params["input_merger"] = {"conv": conv_init(keys[18], 7, 7, 3, fd)}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _rcu(p, x, dtype):
+    h = jax.nn.relu(x)
+    h = conv2d(p["conv1"], h, dtype=dtype)
+    h = jax.nn.relu(h)
+    h = conv2d(p["conv2"], h, dtype=dtype)
+    return h + x
+
+
+def _fusion(p, path, skip, dtype):
+    if skip is not None:
+        path = path + _rcu(p["rcu1"], skip, dtype)
+    path = _rcu(p["rcu2"], path, dtype)
+    n, h, w, c = path.shape
+    path = resize_bilinear_align_corners(path, (2 * h, 2 * w))
+    return conv2d(p["out_conv"], path, dtype=dtype)
+
+
+def dpt_trunk(params, cfg: DPTConfig, hook_tokens: Sequence[jnp.ndarray],
+              grid_hw: tuple, dtype) -> jnp.ndarray:
+    """hook_tokens: 4 arrays (B, N, C_hook). Returns fused features
+    (B, 8*gh, 8*gw, feature_dim) — i.e. half the input image resolution."""
+    gh, gw = grid_hw
+    feats = [t.reshape(t.shape[0], gh, gw, t.shape[-1]) for t in hook_tokens]
+
+    l0 = conv_transpose2d(params["up0"], conv2d(params["proj0"], feats[0], dtype=dtype), 4, dtype=dtype)
+    l1 = conv_transpose2d(params["up1"], conv2d(params["proj1"], feats[1], dtype=dtype), 2, dtype=dtype)
+    l2 = conv2d(params["proj2"], feats[2], dtype=dtype)
+    l3 = conv2d(params["down3"], conv2d(params["proj3"], feats[3], dtype=dtype), stride=2, dtype=dtype)
+
+    l0 = conv2d(params["scratch0"], l0, dtype=dtype)
+    l1 = conv2d(params["scratch1"], l1, dtype=dtype)
+    l2 = conv2d(params["scratch2"], l2, dtype=dtype)
+    l3 = conv2d(params["scratch3"], l3, dtype=dtype)
+
+    p4 = _fusion(params["refinenet4"], l3, None, dtype)
+    p4 = p4[:, : l2.shape[1], : l2.shape[2]]
+    p3 = _fusion(params["refinenet3"], p4, l2, dtype)
+    p2 = _fusion(params["refinenet2"], p3, l1, dtype)
+    p1 = _fusion(params["refinenet1"], p2, l0, dtype)
+    return p1
+
+
+def dpt_regression_head(params, cfg: DPTConfig, hook_tokens, grid_hw, dtype):
+    """DPT + regression head -> (B, H, W, num_channels) at full image res."""
+    p1 = dpt_trunk(params, cfg, hook_tokens, grid_hw, dtype)
+    h = conv2d(params["head"]["conv1"], p1, dtype=dtype)
+    n, hh, ww, c = h.shape
+    h = resize_bilinear_align_corners(h, (2 * hh, 2 * ww))
+    h = conv2d(params["head"]["conv2"], h, dtype=dtype)
+    h = jax.nn.relu(h)
+    return conv2d(params["head"]["conv3"], h, dtype=dtype)
+
+
+def dpt_gs_head(params, cfg: DPTConfig, hook_tokens, grid_hw, images, dtype):
+    """DPT + Gaussian-param head with direct-RGB merger.
+
+    images: (B, H, W, 3) normalized input frames; their 7x7-conv features are
+    added to the upsampled fusion path before the output convs
+    (parity: reference dpt_gs_head.py:104-157).
+    """
+    p1 = dpt_trunk(params, cfg, hook_tokens, grid_hw, dtype)
+    n, hh, ww, c = p1.shape
+    p1 = resize_bilinear_align_corners(p1, (2 * hh, 2 * ww))
+    if cfg.use_input_merger:
+        direct = jax.nn.relu(
+            conv2d(params["input_merger"]["conv"], images.astype(p1.dtype), dtype=dtype)
+        )
+        p1 = p1 + direct
+    h = conv2d(params["head"]["conv1"], p1, dtype=dtype)
+    h = jax.nn.relu(h)
+    # (dropout 0.1 in the reference is inference-identity; training-time
+    # dropout is omitted — the reference trains with it but it is not
+    # load-bearing for parity of released checkpoints)
+    return conv2d(params["head"]["conv2"], h, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# postprocess (pts3d "exp" mode + conf)
+# ---------------------------------------------------------------------------
+
+def postprocess_pts3d_exp(raw_xyz: jnp.ndarray) -> jnp.ndarray:
+    """Directional exp parameterization: xyz = (v/|v|) * expm1(|v|).
+
+    (parity: reference heads/postprocess.py:46-61, mode 'exp', no bounds)
+    """
+    x = raw_xyz.astype(jnp.float32)
+    d = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x / jnp.clip(d, 1e-8) * jnp.expm1(d)
+
+
+def postprocess_conf_exp(raw: jnp.ndarray, vmin: float = 1.0, vmax: float = jnp.inf):
+    x = raw.astype(jnp.float32)
+    return vmin + jnp.clip(jnp.exp(x), a_max=vmax - vmin)
+
+
+# ---------------------------------------------------------------------------
+# linear (pixel-shuffle) heads — the lightweight alternative
+# ---------------------------------------------------------------------------
+
+def init_linear_head(key, dim_in: int, patch_size: int, num_channels: int):
+    return {"proj": linear_init(key, dim_in, patch_size**2 * num_channels)}
+
+
+def linear_head(params, tokens, grid_hw, patch_size, num_channels, dtype):
+    """tokens (B, N, C) -> (B, H, W, num_channels) via pixel shuffle."""
+    gh, gw = grid_hw
+    x = linear(params["proj"], jax.nn.relu(tokens), dtype)
+    b = x.shape[0]
+    x = x.reshape(b, gh, gw, patch_size, patch_size, num_channels)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, gh * patch_size, gw * patch_size, num_channels)
+
+
+# ---------------------------------------------------------------------------
+# camera heads
+# ---------------------------------------------------------------------------
+
+def init_camera_extrinsic_head(dim: int, channels: int):
+    """ReLU -> zero-init Linear so the initial prediction is the identity
+    pose after the +1 real-part shift (reference vicasplat.py:118-127)."""
+    return {"proj": linear_init(None, dim, channels, zero=True)}
+
+
+def init_camera_intrinsic_head(dim: int, fov_init_rad: float):
+    p = {"proj": linear_init(None, dim, 2, zero=True)}
+    p["proj"]["b"] = jnp.full((2,), fov_init_rad, jnp.float32)
+    return p
+
+
+def camera_head(params, tokens, dtype=None):
+    return linear(params["proj"], jax.nn.relu(tokens), dtype)

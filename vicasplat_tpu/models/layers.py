@@ -1,0 +1,188 @@
+"""Functional NN building blocks: params are plain pytrees (nested dicts of
+jnp arrays), forward passes are pure functions.
+
+Conventions (chosen for TPU/XLA, not torch):
+  - Linear kernels are (in, out) — `y = x @ w + b`.
+  - Convs use NHWC activations and HWIO kernels (XLA's native TPU layout).
+  - Params are stored float32; compute dtype is a caller choice (`cast`).
+  - LayerNorm always computes in float32.
+
+The torch-checkpoint converter (utils/ckpt_convert.py) transposes torch's
+(out, in) / OIHW weights into these layouts.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+def xavier_uniform(key, shape, dtype=jnp.float32, fan_in=None, fan_out=None):
+    """Xavier/Glorot uniform. For (in, out) linear kernels fan is inferred;
+    for conv kernels pass fans explicitly."""
+    if fan_in is None:
+        fan_in = shape[0]
+    if fan_out is None:
+        fan_out = shape[-1]
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def normal_init(key, shape, std=0.02, dtype=jnp.float32):
+    return std * jax.random.normal(key, shape, dtype)
+
+
+# ---------------------------------------------------------------------------
+# linear
+# ---------------------------------------------------------------------------
+
+def linear_init(key, d_in, d_out, bias=True, zero=False):
+    if zero:
+        w = jnp.zeros((d_in, d_out), jnp.float32)
+    else:
+        w = xavier_uniform(key, (d_in, d_out))
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def linear(p, x, dtype=None):
+    w = p["w"]
+    if dtype is not None:
+        w = w.astype(dtype)
+        x = x.astype(dtype)
+    y = x @ w
+    if "b" in p:
+        b = p["b"].astype(y.dtype)
+        y = y + b
+    return y
+
+
+# ---------------------------------------------------------------------------
+# layer norm (float32 compute)
+# ---------------------------------------------------------------------------
+
+def layernorm_init(dim):
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layernorm(p, x, eps=1e-6):
+    orig = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(orig)
+
+
+# ---------------------------------------------------------------------------
+# MLP (ViT-style: fc1 -> gelu -> fc2)
+# ---------------------------------------------------------------------------
+
+def mlp_init(key, dim, hidden):
+    k1, k2 = jax.random.split(key)
+    return {"fc1": linear_init(k1, dim, hidden), "fc2": linear_init(k2, hidden, dim)}
+
+
+def mlp(p, x, dtype=None):
+    h = linear(p["fc1"], x, dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    return linear(p["fc2"], h, dtype)
+
+
+# ---------------------------------------------------------------------------
+# conv2d (NHWC, HWIO)
+# ---------------------------------------------------------------------------
+
+def conv_init(key, kh, kw, c_in, c_out, bias=True):
+    fan_in = kh * kw * c_in
+    fan_out = kh * kw * c_out
+    w = xavier_uniform(key, (kh, kw, c_in, c_out), fan_in=fan_in, fan_out=fan_out)
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((c_out,), jnp.float32)
+    return p
+
+
+def conv2d(p, x, stride=1, padding="SAME", dtype=None):
+    w = p["w"]
+    if dtype is not None:
+        w = w.astype(dtype)
+        x = x.astype(dtype)
+    strides = (stride, stride) if isinstance(stride, int) else stride
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def conv_transpose2d(p, x, stride, dtype=None):
+    """Transposed conv with kernel size == stride (the DPT up-projections)."""
+    w = p["w"]
+    if dtype is not None:
+        w = w.astype(dtype)
+        x = x.astype(dtype)
+    strides = (stride, stride) if isinstance(stride, int) else stride
+    y = jax.lax.conv_transpose(
+        x, w, strides=strides, padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# bilinear resize with align_corners=True (DPT fusion path semantics)
+# ---------------------------------------------------------------------------
+
+def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: Sequence[int]) -> jnp.ndarray:
+    """NHWC bilinear resize, align_corners=True (torch F.interpolate semantics
+    used throughout the reference's DPT head). jax.image.resize only does
+    half-pixel centers, so this builds the interpolation as two small matmuls
+    (H and W separably) — MXU-friendly and exactly linear/differentiable."""
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+
+    def weight_matrix(in_size, out_size, dtype):
+        if out_size == 1 or in_size == 1:
+            return jnp.ones((out_size, in_size), dtype) / in_size
+        pos = jnp.arange(out_size, dtype=jnp.float32) * (in_size - 1) / (out_size - 1)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, in_size - 2)
+        frac = pos - lo.astype(jnp.float32)
+        m = jnp.zeros((out_size, in_size), jnp.float32)
+        rows = jnp.arange(out_size)
+        m = m.at[rows, lo].add(1.0 - frac)
+        m = m.at[rows, lo + 1].add(frac)
+        return m.astype(dtype)
+
+    wh = weight_matrix(h, oh, x.dtype)
+    ww = weight_matrix(w, ow, x.dtype)
+    y = jnp.einsum("oh,nhwc->nowc", wh, x)
+    y = jnp.einsum("pw,nowc->nopc", ww, y)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# scaled dot product attention
+# ---------------------------------------------------------------------------
+
+def sdpa(q, k, v, mask=None):
+    """Attention over (B, S, H, D) tensors (BSHD layout).
+
+    mask: broadcastable boolean (..., Sq, Sk), True = attend. Computation uses
+    XLA's fused attention path; softmax in float32.
+    """
+    return jax.nn.dot_product_attention(
+        q, k, v, mask=mask, scale=1.0 / math.sqrt(q.shape[-1])
+    )

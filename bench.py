@@ -1,0 +1,85 @@
+"""Benchmark: flagship re10k_8view end-to-end inference on one TPU chip.
+
+Workload (BASELINE.md north star): 8 unposed frames at 256x256 -> full
+forward (ViT-L encoder + mix decoder + DPT heads + Gaussian adapter = 524k
+Gaussians + 8 camera poses) + differentiable-rasterizer render of a 12-view
+256x256 target trajectory. The reference claims ~0.1 s end-to-end on an
+(unspecified) CUDA GPU (reference README.md:16).
+
+Prints one JSON line:
+  {"metric": "re10k_8view_e2e_latency", "value": <s>, "unit": "s",
+   "vs_baseline": <0.1 / value>}   (>1 means faster than the reference claim)
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from vicasplat_tpu.decoder.splatting import (
+        DecoderSplattingConfig,
+        decoder_forward,
+    )
+    from vicasplat_tpu.models import (
+        GaussianAdapterConfig,
+        VicaNetConfig,
+        VicaSplatConfig,
+        init_vicasplat,
+        vicasplat_forward,
+    )
+
+    cfg = VicaSplatConfig(
+        backbone=VicaNetConfig(),
+        gaussian_adapter=GaussianAdapterConfig(sh_degree=4),
+    )
+    B, T, size, n_views = 1, 8, 256, 12
+    params = init_vicasplat(jax.random.PRNGKey(0), cfg)
+    K = jnp.broadcast_to(
+        jnp.array([[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]]),
+        (B, T, 3, 3),
+    )
+    batch = {
+        "image": jax.random.uniform(jax.random.PRNGKey(1), (B, T, size, size, 3)) * 2 - 1,
+        "intrinsics": K,
+    }
+    # target trajectory: small forward translations
+    tgt_ext = jnp.broadcast_to(jnp.eye(4), (B, n_views, 4, 4))
+    tgt_ext = tgt_ext.at[:, :, 2, 3].set(
+        jnp.linspace(0.0, 0.5, n_views)[None, :]
+    )
+    tgt_K = jnp.broadcast_to(K[:, :1], (B, n_views, 3, 3))
+    dec_cfg = DecoderSplattingConfig()
+
+    @jax.jit
+    def e2e(params, batch):
+        out = vicasplat_forward(params, cfg, batch, dtype=jnp.bfloat16)
+        rendered = decoder_forward(
+            dec_cfg, out["gaussians"], tgt_ext, tgt_K,
+            jnp.ones((B, n_views)), jnp.full((B, n_views), 100.0),
+            (size, size),
+        )
+        return rendered.color, out["gaussian_camera_extrins"]
+
+    # warmup/compile
+    color, poses = e2e(params, batch)
+    jax.block_until_ready((color, poses))
+
+    n_iters = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        color, poses = e2e(params, batch)
+    jax.block_until_ready((color, poses))
+    dt = (time.perf_counter() - t0) / n_iters
+
+    print(json.dumps({
+        "metric": "re10k_8view_e2e_latency",
+        "value": round(dt, 5),
+        "unit": "s",
+        "vs_baseline": round(0.1 / dt, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,224 @@
+"""Data-pipeline tests against a synthetic chunk in the pixelSplat format."""
+import io
+import json
+
+import numpy as np
+import pytest
+
+from vicasplat_tpu.data import DataModule
+from vicasplat_tpu.data.dataset_re10k import (
+    DatasetRE10k,
+    DatasetRE10kConfig,
+    convert_poses,
+)
+from vicasplat_tpu.data.shims import apply_crop_shim, reflect_views
+from vicasplat_tpu.data.view_samplers import (
+    ViewSamplerBoundedConfig,
+    ViewSamplerSequentialConfig,
+    make_view_sampler,
+)
+from vicasplat_tpu.utils.step_tracker import StepTracker
+
+torch = pytest.importorskip("torch")
+from PIL import Image  # noqa: E402
+
+
+def make_chunk(tmp_path, n_scenes=2, n_views=40, hw=(288, 384)):
+    """Write a synthetic .torch chunk + index.json like the reference format."""
+    rng = np.random.default_rng(0)
+    chunk = []
+    for s in range(n_scenes):
+        images = []
+        for v in range(n_views):
+            arr = (rng.uniform(size=(*hw, 3)) * 255).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG")
+            images.append(torch.frombuffer(
+                bytearray(buf.getvalue()), dtype=torch.uint8))
+        cams = np.zeros((n_views, 18), np.float32)
+        cams[:, 0] = 0.9   # fx
+        cams[:, 1] = 1.2   # fy
+        cams[:, 2] = 0.5   # cx
+        cams[:, 3] = 0.5   # cy
+        # w2c rows: identity rotation, camera moving along +x
+        for v in range(n_views):
+            w2c = np.eye(4, dtype=np.float32)
+            w2c[0, 3] = -0.05 * v
+            cams[v, 6:] = w2c[:3].reshape(-1)
+        chunk.append({
+            "key": f"scene{s}",
+            "cameras": torch.from_numpy(cams),
+            "images": images,
+            "url": "", "timestamps": torch.arange(n_views),
+        })
+    stage_dir = tmp_path / "train"
+    stage_dir.mkdir(parents=True)
+    torch.save(chunk, stage_dir / "000000.torch")
+    with open(stage_dir / "index.json", "w") as f:
+        json.dump({c["key"]: "000000.torch" for c in chunk}, f)
+    # test stage mirrors train for this fixture
+    test_dir = tmp_path / "test"
+    test_dir.mkdir()
+    torch.save(chunk, test_dir / "000000.torch")
+    with open(test_dir / "index.json", "w") as f:
+        json.dump({c["key"]: "000000.torch" for c in chunk}, f)
+    return tmp_path
+
+
+class TestConvertPoses:
+    def test_roundtrip(self):
+        cams = np.zeros((3, 18), np.float32)
+        cams[:, :4] = [0.9, 1.2, 0.5, 0.5]
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[0, 3] = 2.0
+        for v in range(3):
+            cams[v, 6:] = w2c[:3].reshape(-1)
+        c2w, K = convert_poses(cams)
+        np.testing.assert_allclose(c2w[0], np.linalg.inv(w2c), atol=1e-6)
+        assert K[0, 0, 0] == np.float32(0.9)
+
+
+class TestSamplers:
+    def test_sequential_spacing(self):
+        cfg = ViewSamplerSequentialConfig(
+            num_context_views=4, num_target_views=6,
+            min_distance_between_context_views=3,
+            max_distance_between_context_views=6,
+        )
+        s = make_view_sampler(cfg, "train")
+        rng = np.random.default_rng(0)
+        ctx, tgt, _ = s.sample("x", 40, rng)
+        assert len(ctx) == 4
+        gaps = np.diff(np.sort(ctx))
+        assert (gaps == gaps[0]).all()
+        assert 3 <= abs(gaps[0]) <= 6
+        assert len(tgt) == 6
+
+    def test_sequential_test_stage_deterministic(self):
+        cfg = ViewSamplerSequentialConfig(
+            num_context_views=4, num_target_views=6,
+            min_distance_between_context_views=3,
+            max_distance_between_context_views=5,
+        )
+        s = make_view_sampler(cfg, "test")
+        ctx, tgt, _ = s.sample("x", 40, np.random.default_rng(0))
+        assert ctx[0] == 0
+        assert (np.diff(ctx) == 5).all()
+        # test picks ALL frames in the span as targets
+        assert len(tgt) == ctx[-1] + 1
+
+    def test_bounded_curriculum(self):
+        st = StepTracker()
+        cfg = ViewSamplerBoundedConfig(
+            num_context_views=2, num_target_views=2,
+            min_distance_between_context_views=20,
+            max_distance_between_context_views=20,
+            initial_min_distance_between_context_views=5,
+            initial_max_distance_between_context_views=5,
+            warm_up_steps=100,
+        )
+        s = make_view_sampler(cfg, "train", step_tracker=st)
+        rng = np.random.default_rng(0)
+        st.set_step(0)
+        ctx0, _, _ = s.sample("x", 60, rng)
+        assert abs(ctx0[1] - ctx0[0]) == 5
+        st.set_step(1000)
+        ctx1, _, _ = s.sample("x", 60, rng)
+        assert abs(ctx1[1] - ctx1[0]) == 20
+
+    def test_sampler_from_dict(self):
+        s = make_view_sampler(
+            {"name": "sequential", "num_context_views": 8,
+             "num_target_views": 12,
+             "min_distance_between_context_views": 30,
+             "max_distance_between_context_views": 90}, "train"
+        )
+        assert s.num_context_views == 8
+
+
+class TestDataset:
+    def test_iterates_examples(self, tmp_path):
+        root = make_chunk(tmp_path)
+        cfg = DatasetRE10kConfig(roots=(str(root),), input_image_shape=(64, 64))
+        sampler = make_view_sampler(
+            ViewSamplerSequentialConfig(
+                num_context_views=4, num_target_views=3,
+                min_distance_between_context_views=2,
+                max_distance_between_context_views=4,
+            ),
+            "train",
+        )
+        ds = DatasetRE10k(cfg, "train", sampler, seed=0)
+        ex = next(iter(ds))
+        assert ex["context"]["image"].shape == (4, 64, 64, 3)
+        assert ex["target"]["image"].shape == (3, 64, 64, 3)
+        assert ex["context"]["extrinsics"].shape == (4, 4, 4)
+        # relative pose: first context frame is identity
+        np.testing.assert_allclose(
+            ex["context"]["extrinsics"][0], np.eye(4), atol=1e-5
+        )
+        # baseline 1: |t_first - t_last| == 1
+        d = np.linalg.norm(
+            ex["context"]["extrinsics"][0, :3, 3]
+            - ex["context"]["extrinsics"][-1, :3, 3]
+        )
+        np.testing.assert_allclose(d, 1.0, atol=1e-4)
+        # intrinsics updated by crop: fx scaled by w_in/w_out after resize
+        assert ex["context"]["intrinsics"][0, 0, 0] > 0.9
+
+    def test_data_module_batching(self, tmp_path):
+        root = make_chunk(tmp_path)
+        dm = DataModule(
+            dataset_cfgs={
+                "re10k": {
+                    "name": "re10k",
+                    "roots": [str(root)],
+                    "input_image_shape": [64, 64],
+                    "view_sampler": {
+                        "name": "sequential",
+                        "num_context_views": 3,
+                        "num_target_views": 2,
+                        "min_distance_between_context_views": 2,
+                        "max_distance_between_context_views": 4,
+                    },
+                }
+            },
+            data_loader_cfg={"train": {"batch_size": 2, "seed": 0}},
+        )
+        batch = next(iter(dm.train_dataloader()))
+        assert batch["context"]["image"].shape == (2, 3, 64, 64, 3)
+        assert batch["target"]["image"].shape == (2, 2, 64, 64, 3)
+        assert batch["context"]["near"].shape == (2, 3)
+        assert len(batch["scene"]) == 2
+
+
+class TestShims:
+    def test_reflect_involution(self):
+        rng = np.random.default_rng(0)
+        views = {
+            "image": rng.uniform(size=(2, 8, 8, 3)).astype(np.float32),
+            "extrinsics": np.tile(np.eye(4, dtype=np.float32), (2, 1, 1)),
+        }
+        views["extrinsics"][:, :3, 3] = rng.normal(size=(2, 3))
+        twice = reflect_views(reflect_views(views))
+        np.testing.assert_allclose(twice["image"], views["image"])
+        np.testing.assert_allclose(twice["extrinsics"], views["extrinsics"], atol=1e-6)
+
+    def test_crop_shim_intrinsics(self):
+        rng = np.random.default_rng(0)
+        ex = {
+            "context": {
+                "image": rng.uniform(size=(1, 360, 640, 3)).astype(np.float32),
+                "intrinsics": np.tile(np.eye(3, dtype=np.float32), (1, 1, 1)),
+            },
+            "target": {
+                "image": rng.uniform(size=(1, 360, 640, 3)).astype(np.float32),
+                "intrinsics": np.tile(np.eye(3, dtype=np.float32), (1, 1, 1)),
+            },
+        }
+        out = apply_crop_shim(ex, (256, 256))
+        assert out["context"]["image"].shape == (1, 256, 256, 3)
+        # 640x360 -> scale to 455x256 -> crop x: fx *= 455/256
+        np.testing.assert_allclose(
+            out["context"]["intrinsics"][0, 0, 0], 455 / 256, rtol=1e-3
+        )

@@ -1,0 +1,161 @@
+"""Batching + async prefetch data module.
+
+Parity target: reference src/dataset/data_module.py (per-dataset loaders,
+seeded per-rank generators, validation wrapper). TPU-native shape: the input
+pipeline lives in-process — a background thread batches numpy examples and
+stages them ahead of the training loop; jax.device_put overlaps with compute.
+"""
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..utils.step_tracker import StepTracker
+from .dataset_re10k import DatasetRE10k, DatasetRE10kConfig
+from .view_samplers import make_view_sampler
+
+
+@dataclasses.dataclass(frozen=True)
+class DataLoaderConfig:
+    batch_size: int = 2
+    seed: int = 1234
+    prefetch: int = 2
+
+
+def collate(examples: list[dict]) -> dict:
+    """Stack a list of example dicts into batched numpy arrays."""
+    def stack(key_path, items):
+        first = items[0]
+        if isinstance(first, dict):
+            return {k: stack(key_path + (k,), [it[k] for it in items]) for k in first}
+        if isinstance(first, str):
+            return list(items)
+        return np.stack(items)
+
+    return stack((), examples)
+
+
+class PrefetchIterator:
+    """Wraps an example iterator: collates batches on a worker thread."""
+
+    def __init__(self, example_iter: Iterator[dict], batch_size: int,
+                 prefetch: int = 2, drop_last: bool = True):
+        self._iter = example_iter
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        batch = []
+        try:
+            for ex in self._iter:
+                batch.append(ex)
+                if len(batch) == self.batch_size:
+                    self._q.put(collate(batch))
+                    batch = []
+            if batch and not self.drop_last:
+                self._q.put(collate(batch))
+        except Exception as e:  # surface worker errors to the consumer
+            self._q.put(e)
+        self._q.put(None)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is None:
+            raise StopIteration
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+
+DATASETS = {
+    "re10k": (DatasetRE10k, DatasetRE10kConfig),
+    "acid": (DatasetRE10k, DatasetRE10kConfig),
+    "dl3dv": (DatasetRE10k, DatasetRE10kConfig),
+    "scannetpp": (DatasetRE10k, DatasetRE10kConfig),
+    "mvimgnet": (DatasetRE10k, DatasetRE10kConfig),
+}
+
+
+def _build_dataset(ds_dict: dict, stage: str, step_tracker, seed: int):
+    d = dict(ds_dict)
+    sampler_cfg = d.pop("view_sampler", {"name": "bounded"})
+    name = d.get("name", "re10k")
+    cls, cfg_cls = DATASETS[name]
+    fields = {f.name for f in dataclasses.fields(cfg_cls)}
+    kwargs = {
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in d.items()
+        if k in fields
+    }
+    cfg = cfg_cls(**kwargs)
+    sampler = make_view_sampler(
+        sampler_cfg, stage, step_tracker,
+        is_overfitting=cfg.overfit_to_scene is not None,
+        cameras_are_circular=cfg.cameras_are_circular,
+    )
+    return cls(cfg, stage, sampler, seed=seed)
+
+
+class DataModule:
+    """Builds per-stage prefetching loaders from the config's dataset dict
+    (one or more named datasets; multiple datasets round-robin)."""
+
+    def __init__(self, dataset_cfgs: dict, data_loader_cfg: dict,
+                 step_tracker: Optional[StepTracker] = None,
+                 global_rank: int = 0):
+        self.dataset_cfgs = dataset_cfgs
+        self.loader_cfg = data_loader_cfg or {}
+        self.step_tracker = step_tracker
+        self.global_rank = global_rank
+
+    def _loader_params(self, stage: str, ds_name: str) -> DataLoaderConfig:
+        section = self.loader_cfg.get(stage, {})
+        if ds_name in section:  # per-dataset override
+            section = section[ds_name]
+        fields = {f.name for f in dataclasses.fields(DataLoaderConfig)}
+        return DataLoaderConfig(**{k: v for k, v in section.items() if k in fields})
+
+    def loader(self, stage: str):
+        iters = []
+        batch_size = 1
+        for name, ds_dict in self.dataset_cfgs.items():
+            lp = self._loader_params(stage, name)
+            batch_size = lp.batch_size
+            seed = lp.seed + self.global_rank  # per-rank seeding
+            ds = _build_dataset(dict(ds_dict, name=ds_dict.get("name", name)),
+                                stage, self.step_tracker, seed)
+            iters.append(iter(ds))
+
+        def round_robin():
+            live = list(iters)
+            while live:
+                for it in list(live):
+                    try:
+                        yield next(it)
+                    except StopIteration:
+                        live.remove(it)
+
+        lp = self._loader_params(stage, next(iter(self.dataset_cfgs), ""))
+        return PrefetchIterator(
+            round_robin(), batch_size=lp.batch_size, prefetch=lp.prefetch,
+            drop_last=stage == "train",
+        )
+
+    def train_dataloader(self):
+        return self.loader("train")
+
+    def val_dataloader(self):
+        return self.loader("val")
+
+    def test_dataloader(self):
+        return self.loader("test")

@@ -1,0 +1,194 @@
+"""RE10K/ACID-style chunked dataset reader (pixelSplat `.torch` format).
+
+Parity target: reference src/dataset/dataset_re10k.py. Chunk files are torch-
+serialized lists of examples: {"key": str, "cameras": (V, 18) float tensor
+[fx fy cx cy 0 0 | w2c 3x4 row-major], "images": list of raw-JPEG-byte uint8
+tensors, ...} with an index.json mapping scene -> chunk file.
+
+This reader is host-side numpy: poses decode to normalized K + c2w, the
+world is rescaled to context baseline 1, poses are renormalized relative to
+the first context frame, JPEG bytes are decoded with PIL, and crop/augment
+shims are applied. Serves re10k / acid / dl3dv / scannetpp / mvimgnet
+(same format).
+"""
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import pathlib
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from ..geometry_np import get_fov_np, camera_normalization_np
+from .shims import apply_augmentation_shim, apply_crop_shim
+from .view_samplers import NotEnoughFramesError, ViewSampler
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetRE10kConfig:
+    name: str = "re10k"
+    roots: tuple = ()
+    input_image_shape: tuple = (256, 256)
+    original_image_shape: tuple = (360, 640)
+    background_color: tuple = (0.0, 0.0, 0.0)
+    cameras_are_circular: bool = False
+    overfit_to_scene: Optional[str] = None
+    baseline_min: float = 1e-3
+    baseline_max: float = 1e10
+    max_fov: float = 100.0
+    make_baseline_1: bool = True
+    augment: bool = True
+    relative_pose: bool = True
+    skip_bad_shape: bool = True
+    near: float = 0.01
+    far: float = 100.0
+
+
+def convert_poses(poses: np.ndarray):
+    """(V, 18) -> (c2w (V,4,4), normalized K (V,3,3))
+    (reference dataset_re10k.py:223-244)."""
+    v = poses.shape[0]
+    K = np.tile(np.eye(3, dtype=np.float32), (v, 1, 1))
+    fx, fy, cx, cy = poses[:, 0], poses[:, 1], poses[:, 2], poses[:, 3]
+    K[:, 0, 0], K[:, 1, 1] = fx, fy
+    K[:, 0, 2], K[:, 1, 2] = cx, cy
+    w2c = np.tile(np.eye(4, dtype=np.float32), (v, 1, 1))
+    w2c[:, :3] = poses[:, 6:].reshape(v, 3, 4)
+    return np.linalg.inv(w2c), K
+
+
+def decode_jpegs(raw_list) -> np.ndarray:
+    """list of raw-JPEG byte arrays -> (V, H, W, 3) float32 [0, 1]."""
+    images = []
+    for raw in raw_list:
+        buf = np.asarray(raw, dtype=np.uint8).tobytes()
+        img = Image.open(io.BytesIO(buf)).convert("RGB")
+        images.append(np.asarray(img, dtype=np.float32) / 255.0)
+    return np.stack(images)
+
+
+class DatasetRE10k:
+    """Iterable over examples; one instance per stage."""
+
+    def __init__(self, cfg: DatasetRE10kConfig, stage: str,
+                 view_sampler: ViewSampler, seed: int = 0):
+        self.cfg = cfg
+        self.stage = stage
+        self.view_sampler = view_sampler
+        self.rng = np.random.default_rng(seed)
+        self.chunks: list[pathlib.Path] = []
+        for root in cfg.roots:
+            root = pathlib.Path(root) / self.data_stage
+            if root.exists():
+                self.chunks.extend(
+                    sorted(p for p in root.iterdir() if p.suffix == ".torch")
+                )
+        if cfg.overfit_to_scene is not None:
+            chunk = self.index[cfg.overfit_to_scene]
+            self.chunks = [chunk] * max(len(self.chunks), 1)
+
+    @property
+    def data_stage(self) -> str:
+        if self.cfg.overfit_to_scene is not None:
+            return "test"
+        return "test" if self.stage == "val" else self.stage
+
+    @property
+    def index(self) -> dict:
+        merged = {}
+        stages = (
+            ("test", "train") if self.cfg.overfit_to_scene else (self.data_stage,)
+        )
+        for stage in stages:
+            for root in self.cfg.roots:
+                p = pathlib.Path(root) / stage / "index.json"
+                if not p.exists():
+                    continue
+                with p.open() as f:
+                    idx = json.load(f)
+                merged.update(
+                    {k: pathlib.Path(root) / stage / v for k, v in idx.items()}
+                )
+        return merged
+
+    def _load_chunk(self, path: pathlib.Path) -> list:
+        import torch
+
+        return torch.load(path, map_location="cpu", weights_only=False)
+
+    def __iter__(self) -> Iterator[dict]:
+        chunks = list(self.chunks)
+        if self.stage in ("train", "val"):
+            self.rng.shuffle(chunks)
+        for chunk_path in chunks:
+            chunk = self._load_chunk(chunk_path)
+            if self.cfg.overfit_to_scene is not None:
+                chunk = [x for x in chunk if x["key"] == self.cfg.overfit_to_scene]
+                chunk = chunk * max(1, len(chunk))
+            if self.stage in ("train", "val"):
+                self.rng.shuffle(chunk)
+            for raw in chunk:
+                ex = self._process(raw)
+                if ex is not None:
+                    yield ex
+
+    def _process(self, raw: dict) -> Optional[dict]:
+        cfg = self.cfg
+        cameras = np.asarray(raw["cameras"], np.float32)
+        extrinsics, intrinsics = convert_poses(cameras)
+        scene = raw["key"]
+        try:
+            ctx_idx, tgt_idx, overlap = self.view_sampler.sample(
+                scene, extrinsics.shape[0], self.rng
+            )
+        except NotEnoughFramesError:
+            return None
+        if np.degrees(get_fov_np(intrinsics)).max() > cfg.max_fov:
+            return None
+        try:
+            ctx_images = decode_jpegs([raw["images"][i] for i in ctx_idx])
+            tgt_images = decode_jpegs([raw["images"][i] for i in tgt_idx])
+        except (IndexError, OSError):
+            return None
+        hw_in = cfg.input_image_shape
+        if cfg.skip_bad_shape and (
+            ctx_images.shape[1] < hw_in[0] or ctx_images.shape[2] < hw_in[1]
+            or tgt_images.shape[1] < hw_in[0] or tgt_images.shape[2] < hw_in[1]
+        ):
+            return None
+
+        scale = 1.0
+        if cfg.make_baseline_1:
+            a = extrinsics[ctx_idx[0], :3, 3]
+            b = extrinsics[ctx_idx[-1], :3, 3]
+            scale = float(np.linalg.norm(a - b))
+            if scale < cfg.baseline_min or scale > cfg.baseline_max:
+                return None
+            extrinsics = extrinsics.copy()
+            extrinsics[:, :3, 3] /= scale
+        if cfg.relative_pose:
+            extrinsics = camera_normalization_np(
+                extrinsics[ctx_idx[0]], extrinsics
+            )
+
+        def views(idx, images):
+            return {
+                "extrinsics": extrinsics[idx].astype(np.float32),
+                "intrinsics": intrinsics[idx].astype(np.float32),
+                "image": images.astype(np.float32),
+                "near": np.full(len(idx), cfg.near / scale, np.float32),
+                "far": np.full(len(idx), cfg.far / scale, np.float32),
+                "index": np.asarray(idx, np.int64),
+            }
+
+        example = {
+            "context": views(ctx_idx, ctx_images),
+            "target": views(tgt_idx, tgt_images),
+            "scene": scene,
+        }
+        if self.stage == "train" and cfg.augment:
+            example = apply_augmentation_shim(example, self.rng)
+        return apply_crop_shim(example, tuple(cfg.input_image_shape))

@@ -1,0 +1,79 @@
+"""Host-side example shims: crop/rescale, x-reflection augmentation.
+
+Parity targets: reference src/dataset/shims/{crop_shim.py, augmentation_
+shim.py}. Numpy in, numpy out; images are (V, H, W, 3) float32 in [0, 1]
+(NHWC — the TPU layout — instead of the reference's NCHW).
+"""
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image
+
+
+def rescale_image(image: np.ndarray, shape: tuple[int, int]) -> np.ndarray:
+    """LANCZOS resize of one (H, W, 3) float image (crop_shim.py:11-23)."""
+    h, w = shape
+    arr = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+    out = Image.fromarray(arr).resize((w, h), Image.LANCZOS)
+    return np.asarray(out, dtype=np.float32) / 255.0
+
+
+def center_crop(images: np.ndarray, intrinsics: np.ndarray,
+                shape: tuple[int, int]):
+    """(V,H,W,3) images + (V,3,3) normalized K -> center crop + fx/fy fix
+    (crop_shim.py:26-48)."""
+    h_in, w_in = images.shape[1:3]
+    h_out, w_out = shape
+    row = (h_in - h_out) // 2
+    col = (w_in - w_out) // 2
+    images = images[:, row:row + h_out, col:col + w_out]
+    intrinsics = intrinsics.copy()
+    intrinsics[:, 0, 0] *= w_in / w_out
+    intrinsics[:, 1, 1] *= h_in / h_out
+    return images, intrinsics
+
+
+def rescale_and_crop(images: np.ndarray, intrinsics: np.ndarray,
+                     shape: tuple[int, int]):
+    h_in, w_in = images.shape[1:3]
+    h_out, w_out = shape
+    assert h_out <= h_in and w_out <= w_in
+    scale = max(h_out / h_in, w_out / w_in)
+    h_s, w_s = round(h_in * scale), round(w_in * scale)
+    assert h_s == h_out or w_s == w_out
+    images = np.stack([rescale_image(im, (h_s, w_s)) for im in images])
+    return center_crop(images, intrinsics, shape)
+
+
+def apply_crop_shim(example: dict, shape: tuple[int, int]) -> dict:
+    out = dict(example)
+    for side in ("context", "target"):
+        views = dict(example[side])
+        views["image"], views["intrinsics"] = rescale_and_crop(
+            views["image"], views["intrinsics"], shape
+        )
+        out[side] = views
+    return out
+
+
+_REFLECT = np.diag([-1.0, 1.0, 1.0, 1.0]).astype(np.float32)
+
+
+def reflect_views(views: dict) -> dict:
+    return {
+        **views,
+        "image": views["image"][:, :, ::-1].copy(),
+        "extrinsics": _REFLECT @ views["extrinsics"] @ _REFLECT,
+    }
+
+
+def apply_augmentation_shim(example: dict, rng: np.random.Generator) -> dict:
+    """x-reflection of images + extrinsics with p=0.5
+    (augmentation_shim.py:8-37)."""
+    if rng.random() < 0.5:
+        return example
+    return {
+        **example,
+        "context": reflect_views(example["context"]),
+        "target": reflect_views(example["target"]),
+    }

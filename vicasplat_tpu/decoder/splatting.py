@@ -1,0 +1,93 @@
+"""Rendering decoder: Gaussians + target cameras -> images/depths.
+
+Parity target: reference src/model/decoder/decoder_splatting_cuda.py:23-101
+(flattening of (b, v, h, w)-shaped pixel-aligned Gaussians, optional
+scale-invariant rescaling, per-view rendering, DecoderOutput(color, depth)).
+On TPU the renderer is ops.rasterize.render; batches are mapped with lax.map
+and views handled inside.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.adapter import Gaussians
+from ..ops.rasterize import RasterizeConfig, render
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderSplattingConfig:
+    background_color: tuple = (0.0, 0.0, 0.0)
+    make_scale_invariant: bool = False
+    rasterize: RasterizeConfig = RasterizeConfig()
+
+
+class DecoderOutput(NamedTuple):
+    color: jnp.ndarray  # (B, V, H, W, 3)
+    depth: jnp.ndarray  # (B, V, H, W)
+    alpha: jnp.ndarray  # (B, V, H, W)
+
+
+def flatten_gaussians(g: Gaussians) -> Gaussians:
+    """(B, T, H, W, ...) pixel-aligned Gaussians -> (B, N, ...)."""
+    b = g.means.shape[0]
+    flat = lambda x, extra: x.reshape(b, -1, *x.shape[x.ndim - extra:])
+    return Gaussians(
+        means=flat(g.means, 1),
+        covariances=flat(g.covariances, 2),
+        harmonics=flat(g.harmonics, 2),
+        opacities=g.opacities.reshape(b, -1),
+        scales=flat(g.scales, 1),
+        rotations=flat(g.rotations, 1),
+    )
+
+
+def decoder_forward(
+    cfg: DecoderSplattingConfig,
+    gaussians: Gaussians,
+    extrinsics: jnp.ndarray,   # (B, V, 4, 4) c2w
+    intrinsics: jnp.ndarray,   # (B, V, 3, 3) normalized
+    near: jnp.ndarray,         # (B, V)
+    far: jnp.ndarray,          # (B, V)
+    image_shape: tuple,
+    cam_rot_delta: Optional[jnp.ndarray] = None,    # (B, V, 3)
+    cam_trans_delta: Optional[jnp.ndarray] = None,  # (B, V, 3)
+    sh_degree: Optional[int] = None,
+) -> DecoderOutput:
+    if gaussians.means.ndim > 3:
+        gaussians = flatten_gaussians(gaussians)
+    if sh_degree is None:
+        sh_degree = int(round(gaussians.harmonics.shape[-1] ** 0.5)) - 1
+    bg = jnp.asarray(cfg.background_color, jnp.float32)
+
+    if cfg.make_scale_invariant:
+        scale = 1.0 / near[:, 0]  # (B,)
+        extrinsics = extrinsics.at[..., :3, 3].multiply(scale[:, None, None])
+        gaussians = gaussians._replace(
+            means=gaussians.means * scale[:, None, None],
+            covariances=gaussians.covariances * (scale[:, None, None, None] ** 2),
+        )
+        near = near * scale[:, None]
+        far = far * scale[:, None]
+
+    def per_example(args):
+        g_means, g_covs, g_sh, g_op, ext, K, rot_d, trans_d = args
+        return render(
+            g_means, g_covs, g_sh, g_op, ext, K, image_shape, bg, sh_degree,
+            cam_rot_delta=rot_d, cam_trans_delta=trans_d, cfg=cfg.rasterize,
+        )
+
+    B, V = extrinsics.shape[:2]
+    rot_d = cam_rot_delta if cam_rot_delta is not None else jnp.zeros((B, V, 3))
+    trans_d = cam_trans_delta if cam_trans_delta is not None else jnp.zeros((B, V, 3))
+    color, depth, alpha = jax.lax.map(
+        per_example,
+        (
+            gaussians.means, gaussians.covariances, gaussians.harmonics,
+            gaussians.opacities, extrinsics, intrinsics, rot_d, trans_d,
+        ),
+    )
+    return DecoderOutput(color, depth, alpha)

@@ -22,31 +22,38 @@ def skew(v: jnp.ndarray) -> jnp.ndarray:
     return rows.reshape(*rows.shape[:-1], 3, 3)
 
 
-def so3_exp(theta: jnp.ndarray) -> jnp.ndarray:
-    """Rodrigues' formula, batched + branchless (Taylor fallback near 0)."""
+def _rotation_coeffs(theta: jnp.ndarray):
+    """Smooth (A, B, C, W, W2) for the SO(3)/SE(3) exponentials.
+
+    Parameterized in angle^2 so gradients are finite at theta = 0 (|theta| is
+    not differentiable there; the Taylor branches are polynomials in
+    angle^2, which is smooth).
+    """
     W = skew(theta)
     W2 = W @ W
-    angle = jnp.linalg.norm(theta, axis=-1)[..., None, None]
+    sq = (theta * theta).sum(-1)[..., None, None]
+    small = sq < 1e-8
+    safe_sq = jnp.where(small, 1.0, sq)
+    angle = jnp.sqrt(safe_sq)
+    A = jnp.where(small, 1.0 - sq / 6.0, jnp.sin(angle) / angle)
+    B = jnp.where(small, 0.5 - sq / 24.0, (1.0 - jnp.cos(angle)) / safe_sq)
+    C = jnp.where(
+        small, 1.0 / 6.0 - sq / 120.0, (angle - jnp.sin(angle)) / (safe_sq * angle)
+    )
+    return A, B, C, W, W2
+
+
+def so3_exp(theta: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues' formula, batched, smooth at the identity."""
+    A, B, _, W, W2 = _rotation_coeffs(theta)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=theta.dtype), W.shape)
-    small = angle < 1e-5
-    safe = jnp.where(small, 1.0, angle)
-    A = jnp.where(small, 1.0 - angle**2 / 6.0, jnp.sin(safe) / safe)
-    B = jnp.where(small, 0.5 - angle**2 / 24.0, (1.0 - jnp.cos(safe)) / safe**2)
     return eye + A * W + B * W2
 
 
 def so3_left_jacobian(theta: jnp.ndarray) -> jnp.ndarray:
     """V(theta) such that t = V @ rho in the SE(3) exponential."""
-    W = skew(theta)
-    W2 = W @ W
-    angle = jnp.linalg.norm(theta, axis=-1)[..., None, None]
+    _, B, C, W, W2 = _rotation_coeffs(theta)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=theta.dtype), W.shape)
-    small = angle < 1e-5
-    safe = jnp.where(small, 1.0, angle)
-    B = jnp.where(small, 0.5 - angle**2 / 24.0, (1.0 - jnp.cos(safe)) / safe**2)
-    C = jnp.where(
-        small, 1.0 / 6.0 - angle**2 / 120.0, (safe - jnp.sin(safe)) / safe**3
-    )
     return eye + B * W + C * W2
 
 

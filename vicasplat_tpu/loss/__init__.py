@@ -1,0 +1,11 @@
+from .losses import (  # noqa: F401
+    LossCameraConfig,
+    LossDepthConfig,
+    LossLpipsConfig,
+    LossMseConfig,
+    camera_loss,
+    depth_smoothness_loss,
+    mse_loss,
+    total_loss,
+)
+from .ssim import ssim  # noqa: F401

@@ -1,0 +1,58 @@
+"""Windowed SSIM with a separable Gaussian filter (pure jnp).
+
+Parity target: reference src/loss/loss_ssim.py (11x11 window, sigma 1.5,
+per-channel depthwise filtering), also used by evaluation/metrics.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _gaussian_kernel(window_size: int, sigma: float) -> jnp.ndarray:
+    x = np.arange(window_size) - window_size // 2
+    g = np.exp(-(x**2) / (2 * sigma**2))
+    return jnp.asarray(g / g.sum(), jnp.float32)
+
+
+def _filter2d_separable(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise separable filtering on NHWC with SAME padding."""
+    c = x.shape[-1]
+    kh = jnp.broadcast_to(k[:, None, None, None], (k.shape[0], 1, 1, c))
+    kw = jnp.broadcast_to(k[None, :, None, None], (1, k.shape[0], 1, c))
+    dn = ("NHWC", "HWIO", "NHWC")
+    y = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=c
+    )
+    return jax.lax.conv_general_dilated(
+        y, kw, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=c
+    )
+
+
+def ssim(
+    img1: jnp.ndarray,  # (..., H, W, C) in [0, 1]
+    img2: jnp.ndarray,
+    window_size: int = 11,
+    sigma: float = 1.5,
+    c1: float = 0.01**2,
+    c2: float = 0.03**2,
+) -> jnp.ndarray:
+    """Mean SSIM over all pixels/channels. Leading dims are flattened."""
+    orig_shape = img1.shape
+    h, w, c = orig_shape[-3:]
+    x = img1.reshape(-1, h, w, c).astype(jnp.float32)
+    y = img2.reshape(-1, h, w, c).astype(jnp.float32)
+    k = _gaussian_kernel(window_size, sigma)
+
+    mu_x = _filter2d_separable(x, k)
+    mu_y = _filter2d_separable(y, k)
+    mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
+    sigma_x = _filter2d_separable(x * x, k) - mu_x2
+    sigma_y = _filter2d_separable(y * y, k) - mu_y2
+    sigma_xy = _filter2d_separable(x * y, k) - mu_xy
+
+    ssim_map = ((2 * mu_xy + c1) * (2 * sigma_xy + c2)) / (
+        (mu_x2 + mu_y2 + c1) * (sigma_x + sigma_y + c2)
+    )
+    return ssim_map.mean()

@@ -134,7 +134,12 @@ def dpt_trunk(params, cfg: DPTConfig, hook_tokens: Sequence[jnp.ndarray],
     l0 = conv_transpose2d(params["up0"], conv2d(params["proj0"], feats[0], dtype=dtype), 4, dtype=dtype)
     l1 = conv_transpose2d(params["up1"], conv2d(params["proj1"], feats[1], dtype=dtype), 2, dtype=dtype)
     l2 = conv2d(params["proj2"], feats[2], dtype=dtype)
-    l3 = conv2d(params["down3"], conv2d(params["proj3"], feats[3], dtype=dtype), stride=2, dtype=dtype)
+    # stride-2 3x3 with symmetric (1,1) padding — torch's Conv2d(padding=1)
+    # semantics; XLA's "SAME" would pad asymmetrically for even inputs
+    l3 = conv2d(
+        params["down3"], conv2d(params["proj3"], feats[3], dtype=dtype),
+        stride=2, padding=((1, 1), (1, 1)), dtype=dtype,
+    )
 
     l0 = conv2d(params["scratch0"], l0, dtype=dtype)
     l1 = conv2d(params["scratch1"], l1, dtype=dtype)

@@ -127,7 +127,12 @@ def conv2d(p, x, stride=1, padding="SAME", dtype=None):
 
 
 def conv_transpose2d(p, x, stride, dtype=None):
-    """Transposed conv with kernel size == stride (the DPT up-projections)."""
+    """Transposed conv with kernel size == stride (the DPT up-projections).
+
+    Kernel layout is (kh, kw, OUT, IN) with transpose_kernel=True — the
+    gradient-of-conv form, which matches torch ConvTranspose2d exactly
+    (see tests/test_parity_torch.py).
+    """
     w = p["w"]
     if dtype is not None:
         w = w.astype(dtype)
@@ -136,6 +141,7 @@ def conv_transpose2d(p, x, stride, dtype=None):
     y = jax.lax.conv_transpose(
         x, w, strides=strides, padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        transpose_kernel=True,
     )
     if "b" in p:
         y = y + p["b"].astype(y.dtype)

@@ -1,0 +1,83 @@
+"""Real spherical harmonics evaluation (degrees 0..4).
+
+Used to turn per-Gaussian SH coefficients into view-dependent RGB, matching
+the convention of standard 3DGS renderers (the reference's CUDA rasterizers):
+color = clamp(SH(dir) . coeffs + 0.5, min=0).
+
+Basis uses the standard real-SH constants (hardcoded polynomials, same family
+as reference src/misc/sht.py's rsh_cart_* tables).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# degree 0
+_C0 = 0.28209479177387814
+# degree 1
+_C1 = 0.4886025119029199
+# degree 2
+_C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+       -1.0925484305920792, 0.5462742152960396)
+# degree 3
+_C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+       0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+       -0.5900435899266435)
+# degree 4
+_C4 = (2.5033429417967046, -1.7701307697799304, 0.9461746957575601,
+       -0.6690465435572892, 0.10578554691520431, -0.6690465435572892,
+       0.47308734787878004, -1.7701307697799304, 0.6258357354491761)
+
+
+def sh_basis(dirs: jnp.ndarray, degree: int) -> jnp.ndarray:
+    """dirs: (..., 3) unit vectors -> (..., (degree+1)^2) basis values."""
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    out = [jnp.full(x.shape, _C0, dirs.dtype)]
+    if degree >= 1:
+        out += [-_C1 * y, _C1 * z, -_C1 * x]
+    if degree >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        out += [
+            _C2[0] * xy,
+            _C2[1] * yz,
+            _C2[2] * (2.0 * zz - xx - yy),
+            _C2[3] * xz,
+            _C2[4] * (xx - yy),
+        ]
+    if degree >= 3:
+        out += [
+            _C3[0] * y * (3 * xx - yy),
+            _C3[1] * xy * z,
+            _C3[2] * y * (4 * zz - xx - yy),
+            _C3[3] * z * (2 * zz - 3 * xx - 3 * yy),
+            _C3[4] * x * (4 * zz - xx - yy),
+            _C3[5] * z * (xx - yy),
+            _C3[6] * x * (xx - 3 * yy),
+        ]
+    if degree >= 4:
+        out += [
+            _C4[0] * xy * (xx - yy),
+            _C4[1] * yz * (3 * xx - yy),
+            _C4[2] * xy * (7 * zz - 1),
+            _C4[3] * yz * (7 * zz - 3),
+            _C4[4] * (zz * (35 * zz - 30) + 3),
+            _C4[5] * xz * (7 * zz - 3),
+            _C4[6] * (xx - yy) * (7 * zz - 1),
+            _C4[7] * xz * (xx - 3 * yy),
+            _C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy)),
+        ]
+    if degree >= 5:
+        raise NotImplementedError("SH degree > 4")
+    return jnp.stack(out, axis=-1)
+
+
+def eval_sh_colors(
+    harmonics: jnp.ndarray,  # (..., 3, d_sh)
+    dirs: jnp.ndarray,       # (..., 3) unit view directions
+    degree: int,
+) -> jnp.ndarray:
+    """3DGS color decode: clamp(basis . coeffs + 0.5, 0)."""
+    basis = sh_basis(dirs, degree)  # (..., d_sh)
+    n = (degree + 1) ** 2
+    rgb = jnp.einsum("...cd,...d->...c", harmonics[..., :n], basis)
+    return jnp.maximum(rgb + 0.5, 0.0)

@@ -1,0 +1,85 @@
+"""Optimizer: AdamW with warmup(+cosine) schedule and per-parameter-group
+learning-rate multipliers.
+
+Parity target: reference src/model/model_wrapper.py:884-951 — AdamW
+(betas 0.9/0.95, weight decay 0.05), "new" params (matched by keyword) at
+full lr, pretrained backbone params at lr * backbone_lr_multiplier, linear
+warmup then optional cosine annealing, global-norm gradient clipping.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    lr: float = 1.5e-4
+    warm_up_steps: int = 2000
+    backbone_lr_multiplier: float = 0.1
+    weight_decay: float = 0.05
+    betas: tuple = (0.9, 0.95)
+    gradient_clip_val: float = 0.5
+    cosine_annealing: bool = False
+    max_steps: int = 100_000
+    new_param_keywords: tuple = ("gaussian_param_head", "intrinsic_encoder")
+
+
+def lr_multiplier_tree(params, cfg: OptimizerConfig):
+    """Per-leaf lr multiplier: 1.0 for 'new' params (keyword match on the
+    path), backbone_lr_multiplier otherwise."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def mult_for(path):
+        s = jax.tree_util.keystr(path)
+        return 1.0 if any(k in s for k in cfg.new_param_keywords) else cfg.backbone_lr_multiplier
+
+    leaves = {jax.tree_util.keystr(p): mult_for(p) for p, _ in flat}
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params),
+        [mult_for(p) for p, _ in flat],
+    )
+
+
+def _scale_by_tree(multiplier_tree):
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        updates = jax.tree.map(lambda u, m: u * m, updates, multiplier_tree)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_schedule(cfg: OptimizerConfig):
+    if cfg.cosine_annealing:
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.lr,
+            warmup_steps=max(cfg.warm_up_steps, 1),
+            decay_steps=max(cfg.max_steps, cfg.warm_up_steps + 1),
+        )
+    return optax.linear_schedule(
+        init_value=cfg.lr / max(cfg.warm_up_steps, 1),
+        end_value=cfg.lr,
+        transition_steps=max(cfg.warm_up_steps, 1),
+    )
+
+
+def make_optimizer(params, cfg: OptimizerConfig) -> optax.GradientTransformation:
+    mult = lr_multiplier_tree(params, cfg)
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.gradient_clip_val),
+        optax.adamw(
+            learning_rate=make_schedule(cfg),
+            b1=cfg.betas[0],
+            b2=cfg.betas[1],
+            weight_decay=cfg.weight_decay,
+        ),
+        _scale_by_tree(mult),
+    )

@@ -1,0 +1,115 @@
+"""Metric tests: closed-form trajectory alignment cases, PSNR/SSIM sanity."""
+import numpy as np
+import jax.numpy as jnp
+
+from vicasplat_tpu.evaluation.metrics import (
+    ate,
+    camera_eval_metrics,
+    compute_psnr,
+    compute_ssim,
+    pose_auc,
+    rpe,
+    umeyama_alignment,
+)
+
+
+def random_traj(rng, n=10):
+    poses = []
+    t = np.zeros(3)
+    R = np.eye(3)
+    for _ in range(n):
+        m = np.eye(4)
+        m[:3, :3] = R
+        m[:3, 3] = t
+        poses.append(m)
+        # random walk
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        ang = 0.1
+        K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+                      [-axis[1], axis[0], 0]])
+        R = R @ (np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * K @ K)
+        t = t + rng.normal(size=3) * 0.3
+    return np.stack(poses)
+
+
+class TestUmeyama:
+    def test_recovers_similarity(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(3, 20))
+        ang = 0.7
+        R_true = np.array([
+            [np.cos(ang), -np.sin(ang), 0],
+            [np.sin(ang), np.cos(ang), 0],
+            [0, 0, 1],
+        ])
+        s_true, t_true = 2.5, np.array([1.0, -2.0, 0.5])
+        y = s_true * R_true @ x + t_true[:, None]
+        R, t, s = umeyama_alignment(x, y)
+        np.testing.assert_allclose(R, R_true, atol=1e-8)
+        np.testing.assert_allclose(t, t_true, atol=1e-8)
+        np.testing.assert_allclose(s, s_true, atol=1e-8)
+
+
+class TestTrajectoryMetrics:
+    def test_ate_zero_for_similarity_transformed(self):
+        rng = np.random.default_rng(1)
+        gt = random_traj(rng)
+        # prediction = similarity-transformed GT -> ATE should be ~0
+        S = np.eye(4)
+        S[:3, :3] = 3.0 * np.eye(3)
+        S[:3, 3] = [5, 6, 7]
+        pred = S @ gt
+        assert ate(gt, pred) < 1e-8
+
+    def test_ate_detects_error(self):
+        rng = np.random.default_rng(2)
+        gt = random_traj(rng)
+        pred = gt.copy()
+        pred[:, :3, 3] += rng.normal(size=(len(gt), 3)) * 0.5
+        assert ate(gt, pred) > 0.1
+
+    def test_rpe_zero_for_identical(self):
+        rng = np.random.default_rng(3)
+        gt = random_traj(rng)
+        t_err, r_err = rpe(gt, gt)
+        assert t_err < 1e-8 and r_err < 1e-5
+
+    def test_camera_eval_metrics_keys(self):
+        rng = np.random.default_rng(4)
+        gt = random_traj(rng, 8)
+        m = camera_eval_metrics(gt, gt)
+        assert m["ate"] < 1e-8
+        assert m["rpe_rot"] < 1e-4
+        assert m["rot_err_deg"].shape == (7,)
+        np.testing.assert_allclose(m["rot_err_deg"], 0.0, atol=1e-4)
+
+
+class TestPoseAuc:
+    def test_perfect(self):
+        aucs = pose_auc(np.zeros(100), thresholds=(5, 10))
+        np.testing.assert_allclose(aucs, [1.0, 1.0], atol=1e-6)
+
+    def test_linear_errors(self):
+        # errors uniform on [0, 10]: AUC@10 ~ 0.5
+        errs = np.linspace(0, 10, 1001)
+        (auc10,) = pose_auc(errs, thresholds=(10,))
+        assert abs(auc10 - 0.5) < 0.01
+
+
+class TestImageMetrics:
+    def test_psnr_identity(self):
+        img = jnp.ones((2, 16, 16, 3)) * 0.5
+        assert float(compute_psnr(img, img).min()) > 100
+
+    def test_psnr_known_value(self):
+        a = jnp.zeros((1, 8, 8, 3))
+        b = jnp.full((1, 8, 8, 3), 0.1)
+        np.testing.assert_allclose(float(compute_psnr(a, b)[0]), 20.0, atol=1e-3)
+
+    def test_ssim_identity(self):
+        import jax
+        img = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3))
+        assert float(compute_ssim(img, img)) > 0.999
+        noisy = jnp.clip(img + 0.3 * jax.random.normal(jax.random.PRNGKey(1), img.shape), 0, 1)
+        assert float(compute_ssim(img, noisy)) < 0.9

@@ -1,0 +1,132 @@
+"""Tests: PLY export round-trip, camera trajectory, config system,
+benchmarker, checkpoint manager."""
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vicasplat_tpu.utils.ply import export_ply, read_ply
+
+
+class TestPly:
+    def test_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        n = 50
+        means = rng.normal(size=(n, 3)).astype(np.float32)
+        scales = rng.uniform(0.01, 0.1, size=(n, 3)).astype(np.float32)
+        rots = rng.normal(size=(n, 4)).astype(np.float32)
+        rots /= np.linalg.norm(rots, axis=-1, keepdims=True)
+        sh = rng.normal(size=(n, 3, 9)).astype(np.float32)
+        opac = rng.uniform(0.1, 0.9, size=n).astype(np.float32)
+        path = tmp_path / "g.ply"
+        kept = export_ply(means, scales, rots, sh, opac, path)
+        assert kept == n
+        back = read_ply(path)
+        order = np.argsort(-opac)
+        np.testing.assert_allclose(back["means"], means[order], atol=1e-5)
+        np.testing.assert_allclose(back["scales"], scales[order], rtol=1e-4)
+        np.testing.assert_allclose(back["opacities"], opac[order], atol=1e-5)
+        np.testing.assert_allclose(back["harmonics"], sh[order], atol=1e-5)
+        np.testing.assert_allclose(back["rotations"], rots[order], atol=1e-5)
+
+    def test_opacity_prune(self, tmp_path):
+        means = np.zeros((4, 3), np.float32)
+        scales = np.full((4, 3), 0.1, np.float32)
+        rots = np.tile([0, 0, 0, 1.0], (4, 1)).astype(np.float32)
+        sh = np.zeros((4, 3, 1), np.float32)
+        opac = np.array([0.5, 0.001, 0.9, 0.002], np.float32)
+        kept = export_ply(means, scales, rots, sh, opac, tmp_path / "g.ply")
+        assert kept == 2
+
+
+class TestTrajectory:
+    def test_interpolate_endpoints(self):
+        from vicasplat_tpu.visualization.camera_trajectory import (
+            interpolate_trajectory,
+        )
+
+        poses = jnp.stack([jnp.eye(4)] * 3)
+        poses = poses.at[1, 0, 3].set(1.0).at[2, 0, 3].set(2.0)
+        traj = interpolate_trajectory(poses, steps_per_segment=4)
+        assert traj.shape == (9, 4, 4)
+        np.testing.assert_allclose(traj[0], poses[0], atol=1e-5)
+        np.testing.assert_allclose(traj[-1], poses[2], atol=1e-5)
+        # rigidity everywhere
+        R = traj[:, :3, :3]
+        np.testing.assert_allclose(
+            R @ jnp.swapaxes(R, -1, -2), jnp.broadcast_to(jnp.eye(3), R.shape),
+            atol=1e-5,
+        )
+
+    def test_wobble(self):
+        from vicasplat_tpu.visualization.camera_trajectory import generate_wobble
+
+        ext = jnp.eye(4)
+        t = jnp.linspace(0, 1, 5)
+        out = generate_wobble(ext, 0.1, t)
+        assert out.shape == (5, 4, 4)
+        np.testing.assert_allclose(out[0, 1, 3], -0.1, atol=1e-6)
+
+
+class TestConfig:
+    def test_load_flagship(self):
+        from vicasplat_tpu.utils.config import load_config
+
+        cfg = load_config("configs/main.yaml", experiment="re10k_8view")
+        assert cfg.encoder.backbone.use_intrinsic_embedding
+        assert cfg.encoder.backbone.enc_depth == 24
+        assert cfg.optimizer.lr == 4e-5
+        assert cfg.loss.camera.weight == 0.1
+        assert cfg.trainer.max_steps == 20000
+
+    def test_overrides(self):
+        from vicasplat_tpu.utils.config import load_config
+
+        cfg = load_config(
+            "configs/main.yaml",
+            overrides=["encoder.backbone.enc_depth=2", "seed=7",
+                       "decoder.background_color=[1.0,1.0,1.0]"],
+        )
+        assert cfg.encoder.backbone.enc_depth == 2
+        assert cfg.seed == 7
+        assert cfg.decoder.background_color == (1.0, 1.0, 1.0)
+
+    def test_unknown_key_rejected(self):
+        import pytest
+
+        from vicasplat_tpu.utils.config import load_config
+
+        with pytest.raises(KeyError):
+            load_config("configs/main.yaml", overrides=["encoder.nonexistent=1"])
+
+
+class TestCheckpointing:
+    def test_save_restore_prune(self, tmp_path):
+        from vicasplat_tpu.utils.checkpointing import CheckpointManager
+
+        cm = CheckpointManager(tmp_path, every_n_steps=10, keep=2)
+        params = {"a": jnp.arange(5.0), "b": {"c": jnp.ones((2, 2))}}
+        for step in (10, 20, 30):
+            assert cm.should_save(step)
+            cm.save(step, params)
+        assert not cm.should_save(5)
+        ckpts = sorted(p.name for p in tmp_path.glob("step_*"))
+        assert ckpts == ["step_00000020", "step_00000030"]
+        back = cm.restore(template={"params": params})
+        np.testing.assert_allclose(back["params"]["a"], params["a"])
+
+
+class TestBenchmarker:
+    def test_timing_and_dump(self, tmp_path):
+        from vicasplat_tpu.utils.benchmarker import Benchmarker
+
+        b = Benchmarker()
+        with b.time("op"):
+            _ = sum(range(1000))
+        out = b.time_fn("jit", jax.jit(lambda x: x * 2), jnp.ones(8))
+        assert out.shape == (8,)
+        b.dump(tmp_path / "bench.json")
+        data = json.loads((tmp_path / "bench.json").read_text())
+        assert "op" in data and "jit" in data
+        assert data["jit"]["count"] == 1

@@ -1,0 +1,234 @@
+"""Train/test CLI: `python -m vicasplat_tpu.main +experiment=re10k_8view
+[mode=test] [key=value ...]`.
+
+Parity target: reference src/main.py (Hydra train()) — config composition,
+encoder/decoder construction, optional pretrained-weight loading, training
+loop with checkpointing + curriculum step publishing, or test-mode evaluation
+over the dataset's evaluation index.
+
+TPU orchestration: one JAX process per host, 1-D data mesh over local chips,
+batch sharded / params replicated, host-side threaded input pipeline.
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_all(cfg):
+    from .models import init_vicasplat
+    from .training import TrainConfig, make_train_step
+    from .training.optimizer import make_optimizer, OptimizerConfig
+    import dataclasses
+
+    opt_cfg = dataclasses.replace(
+        cfg.optimizer,
+        cosine_annealing=cfg.train.lr_cosine_annealing or cfg.optimizer.cosine_annealing,
+        max_steps=cfg.trainer.max_steps if cfg.trainer.max_steps > 0 else cfg.optimizer.max_steps,
+        gradient_clip_val=cfg.trainer.gradient_clip_val,
+        new_param_keywords=tuple(cfg.train.new_param_keywords),
+    )
+    train_cfg = TrainConfig(
+        model=cfg.encoder,
+        decoder=cfg.decoder,
+        optimizer=opt_cfg,
+        mse=cfg.loss.mse or None,
+        camera=cfg.loss.camera,
+        dtype="bfloat16" if cfg.trainer.precision == "bfloat16" else "float32",
+        remat=cfg.train.gradient_checkpointing,
+    )
+    params = init_vicasplat(jax.random.PRNGKey(cfg.seed), cfg.encoder)
+    if cfg.checkpointing.load:
+        from .utils.checkpointing import load_weights
+
+        print(f"loading weights from {cfg.checkpointing.load}")
+        params = load_weights(cfg.checkpointing.load, template=params)
+    optimizer = make_optimizer(params, opt_cfg)
+    return train_cfg, params, optimizer
+
+
+def train(cfg):
+    from .data import DataModule
+    from .parallel import make_mesh, replicate, shard_batch
+    from .training import make_train_step
+    from .utils.checkpointing import CheckpointManager
+    from .utils.step_tracker import StepTracker
+
+    # fix TrainConfig losses: mse required
+    import dataclasses
+    train_cfg, params, optimizer = build_all(cfg)
+    if cfg.loss.mse is not None:
+        train_cfg = dataclasses.replace(train_cfg, mse=cfg.loss.mse)
+    if cfg.loss.camera is not None:
+        train_cfg = dataclasses.replace(train_cfg, camera=cfg.loss.camera)
+
+    step_tracker = StepTracker()
+    dm = DataModule(cfg.dataset, cfg.data_loader, step_tracker,
+                    global_rank=jax.process_index())
+    ckpt = CheckpointManager(
+        cfg.checkpointing.output_dir,
+        every_n_steps=cfg.checkpointing.every_n_train_steps,
+        keep=cfg.checkpointing.save_top_k,
+    )
+
+    mesh = make_mesh()
+    opt_state = optimizer.init(params)
+    lpips_fn = _maybe_lpips(cfg)
+    step_fn = jax.jit(
+        make_train_step(train_cfg, optimizer, lpips_fn=lpips_fn),
+        donate_argnums=(0, 1),
+    )
+
+    max_steps = cfg.trainer.max_steps if cfg.trainer.max_steps > 0 else 10**9
+    global_step = 0
+    t_last = time.perf_counter()
+    with mesh:
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+        while global_step < max_steps:
+            for batch in dm.train_dataloader():
+                batch = {k: v for k, v in batch.items() if k != "scene"}
+                batch = shard_batch(mesh, batch)
+                params, opt_state, logs = step_fn(
+                    params, opt_state, batch, global_step
+                )
+                global_step += 1
+                step_tracker.set_step(global_step)
+                if global_step % cfg.train.print_log_every_n_steps == 0:
+                    logs = jax.device_get(logs)
+                    dt = time.perf_counter() - t_last
+                    t_last = time.perf_counter()
+                    print(
+                        f"step {global_step} | loss {logs['loss']:.4f} | "
+                        f"psnr {logs['psnr']:.2f} | "
+                        f"{cfg.train.print_log_every_n_steps / dt:.2f} it/s",
+                        flush=True,
+                    )
+                if ckpt.should_save(global_step):
+                    ckpt.save(global_step, jax.device_get(params))
+                if global_step >= max_steps:
+                    break
+    ckpt.save(global_step, jax.device_get(params))
+    print("training done")
+
+
+def _maybe_lpips(cfg):
+    if cfg.loss.lpips is None:
+        return None
+    try:
+        from .loss.lpips import make_lpips_fn
+
+        return make_lpips_fn()
+    except Exception as e:  # weights unavailable in this environment
+        print(f"lpips unavailable ({e}); continuing without perceptual loss")
+        return None
+
+
+def test(cfg):
+    from .data import DataModule
+    from .evaluation.nvs_eval import (
+        EvalConfig,
+        evaluate_scene,
+        make_pose_align_step,
+        save_scene_outputs,
+    )
+    from .models import init_vicasplat, vicasplat_forward
+    from .decoder.splatting import decoder_forward
+    from .utils.benchmarker import Benchmarker
+    from .utils.checkpointing import load_weights
+
+    params = init_vicasplat(jax.random.PRNGKey(cfg.seed), cfg.encoder)
+    if cfg.checkpointing.load:
+        params = load_weights(cfg.checkpointing.load, template=params)
+
+    eval_cfg = EvalConfig(
+        output_path=cfg.test.output_path,
+        align_pose=cfg.test.align_pose,
+        pose_align_steps=cfg.test.pose_align_steps,
+        rot_opt_lr=cfg.test.rot_opt_lr,
+        trans_opt_lr=cfg.test.trans_opt_lr,
+        compute_scores=cfg.test.compute_scores,
+        save_image=cfg.test.save_image,
+        save_video=cfg.test.save_video,
+        save_compare=cfg.test.save_compare,
+        save_gs=cfg.test.save_gs,
+    )
+    dm = DataModule(cfg.dataset, cfg.data_loader, None)
+    bench = Benchmarker()
+    h = w = cfg.encoder.backbone.img_size
+    encode_fn = jax.jit(
+        lambda p, c: vicasplat_forward(
+            p, cfg.encoder, dict(c, image=c["image"] * 2 - 1), dtype=jnp.bfloat16
+        )
+    )
+    render_fn = jax.jit(
+        lambda g, t, rot, trans: decoder_forward(
+            cfg.decoder, g, t["extrinsics"], t["intrinsics"], t["near"],
+            t["far"], (h, w), cam_rot_delta=rot, cam_trans_delta=trans,
+        )
+    )
+    align_fn = (
+        make_pose_align_step(cfg.encoder, cfg.decoder, eval_cfg, (h, w))
+        if eval_cfg.align_pose and eval_cfg.pose_align_steps > 0
+        else None
+    )
+
+    results = []
+    for batch in dm.test_dataloader():
+        r = evaluate_scene(
+            params, cfg.encoder, cfg.decoder, eval_cfg, batch,
+            encode_fn=encode_fn, render_fn=render_fn, align_fn=align_fn,
+            benchmarker=bench,
+        )
+        save_scene_outputs(r, batch, eval_cfg, cfg.encoder)
+        results.append({k: v for k, v in r.items() if not k.startswith("_")})
+        scored = [x for x in results if "psnr" in x]
+        if scored:
+            print(
+                f"[{len(results)}] {r['scene']}: "
+                + " ".join(
+                    f"{k}={np.mean([x[k] for x in scored]):.3f}"
+                    for k in ("psnr", "ssim", "ate")
+                    if k in scored[0]
+                ),
+                flush=True,
+            )
+
+    import json
+    import pathlib
+
+    out = pathlib.Path(eval_cfg.output_path)
+    out.mkdir(parents=True, exist_ok=True)
+    scored = [x for x in results if "psnr" in x]
+    summary = {
+        k: float(np.mean([x[k] for x in scored]))
+        for k in scored[0]
+        if isinstance(scored[0][k], (int, float))
+    } if scored else {}
+    with open(out / "scores_all_avg.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    bench.dump(out / "benchmark.json")
+    bench.dump_memory(out / "peak_memory.json")
+    print("summary:", summary)
+
+
+def main(argv=None):
+    from .utils.config import parse_cli
+
+    argv = sys.argv[1:] if argv is None else argv
+    cfg = parse_cli(argv)
+    np.random.seed(cfg.seed + jax.process_index())
+    if cfg.mode == "train":
+        train(cfg)
+    elif cfg.mode == "test":
+        test(cfg)
+    else:
+        raise ValueError(cfg.mode)
+
+
+if __name__ == "__main__":
+    main()

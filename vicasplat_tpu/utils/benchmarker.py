@@ -1,0 +1,71 @@
+"""Wall-clock benchmarking + device-memory reporting.
+
+Parity target: reference src/misc/benchmarker.py:11-37 (context-manager
+timing with per-tag averaging dumped to benchmark.json, plus peak-memory
+dump). TPU version blocks on device results (block_until_ready) and reads
+jax device memory stats instead of torch.cuda.
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+
+import jax
+
+
+class Benchmarker:
+    def __init__(self):
+        self.execution_times = defaultdict(list)
+
+    @contextmanager
+    def time(self, tag: str, num_calls: int = 1):
+        start = time.perf_counter()
+        try:
+            yield
+        finally:
+            elapsed = time.perf_counter() - start
+            for _ in range(num_calls):
+                self.execution_times[tag].append(elapsed / num_calls)
+
+    def time_fn(self, tag: str, fn, *args, **kwargs):
+        """Time a jax computation to completion (block_until_ready)."""
+        start = time.perf_counter()
+        out = fn(*args, **kwargs)
+        jax.block_until_ready(out)
+        self.execution_times[tag].append(time.perf_counter() - start)
+        return out
+
+    def summarize(self) -> dict:
+        return {
+            tag: {"count": len(v), "mean_s": sum(v) / len(v), "total_s": sum(v)}
+            for tag, v in self.execution_times.items()
+        }
+
+    def dump(self, path) -> None:
+        path = pathlib.Path(path)
+        path.parent.mkdir(exist_ok=True, parents=True)
+        with open(path, "w") as f:
+            json.dump(self.summarize(), f, indent=2)
+
+    def dump_memory(self, path) -> None:
+        path = pathlib.Path(path)
+        path.parent.mkdir(exist_ok=True, parents=True)
+        stats = {}
+        for i, d in enumerate(jax.local_devices()):
+            try:
+                s = d.memory_stats() or {}
+            except Exception:
+                s = {}
+            stats[f"device_{i}"] = {
+                k: s.get(k)
+                for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")
+                if k in s
+            }
+        with open(path, "w") as f:
+            json.dump(stats, f, indent=2)
+
+    def clear_history(self) -> None:
+        self.execution_times = defaultdict(list)

@@ -1,0 +1,85 @@
+"""Checkpoint save/load: orbax for native pytree checkpoints, plus
+torch-format interchange via ckpt_convert.
+
+Parity target: reference Lightning ModelCheckpoint every N steps with top-k
+retention (src/main.py:86-96), plus ingestion of torch checkpoints
+(src/main.py:141-154).
+"""
+from __future__ import annotations
+
+import pathlib
+import shutil
+from typing import Any, Optional
+
+import jax
+
+
+class CheckpointManager:
+    def __init__(self, directory, every_n_steps: int = 5000, keep: int = 5):
+        self.directory = pathlib.Path(directory)
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.every_n_steps = every_n_steps
+        self.keep = keep
+
+    def _ckpt_path(self, step: int) -> pathlib.Path:
+        return self.directory / f"step_{step:08d}"
+
+    def should_save(self, step: int) -> bool:
+        return step > 0 and step % self.every_n_steps == 0
+
+    def save(self, step: int, params, opt_state=None, extra: Optional[dict] = None):
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_path(step)
+        if path.exists():
+            shutil.rmtree(path)
+        ckptr = ocp.StandardCheckpointer()
+        payload = {"params": params}
+        if opt_state is not None:
+            payload["opt_state"] = opt_state
+        if extra:
+            payload["extra"] = extra
+        ckptr.save(path.absolute(), payload)
+        ckptr.wait_until_finished()
+        self._prune()
+        return path
+
+    def _prune(self):
+        ckpts = sorted(self.directory.glob("step_*"))
+        for old in ckpts[: -self.keep]:
+            shutil.rmtree(old, ignore_errors=True)
+
+    def latest(self) -> Optional[pathlib.Path]:
+        ckpts = sorted(self.directory.glob("step_*"))
+        return ckpts[-1] if ckpts else None
+
+    def restore(self, path=None, template: Any = None):
+        import orbax.checkpoint as ocp
+
+        path = pathlib.Path(path) if path else self.latest()
+        if path is None:
+            return None
+        ckptr = ocp.StandardCheckpointer()
+        if template is not None:
+            return ckptr.restore(path.absolute(), template)
+        return ckptr.restore(path.absolute())
+
+
+def load_weights(path: str, template=None):
+    """Load weights from either a native orbax dir or a torch .ckpt file
+    (reference main.py:141-154 dispatch)."""
+    p = pathlib.Path(path)
+    if p.is_dir():
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        payload = (
+            ckptr.restore(p.absolute(), template)
+            if template is not None
+            else ckptr.restore(p.absolute())
+        )
+        return payload["params"] if isinstance(payload, dict) and "params" in payload else payload
+    # torch checkpoint
+    from .ckpt_convert import load_torch_checkpoint
+
+    return load_torch_checkpoint(str(p))

@@ -134,6 +134,11 @@ def _build_field(tp, value):
         return tuple(value) if isinstance(value, (list, tuple)) else value
     if tp is dict or origin is dict:
         return dict(value)
+    if tp is float:
+        # YAML 1.1 parses "4e-5" (no dot/signed exponent) as a string
+        return float(value)
+    if tp is int and not isinstance(value, bool):
+        return int(value)
     return value
 
 

@@ -1,0 +1,50 @@
+"""Persistent TPU worker: polls tools/jobs/*.py, execs each in-process
+(sharing the live JAX/TPU context across jobs), writes <job>.out.
+
+Avoids paying the TPU-tunnel handshake + fresh-process compile for every
+experiment. Also enables the persistent compilation cache.
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import io
+import contextlib
+import pathlib
+import time
+import traceback
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+JOBS = pathlib.Path(__file__).parent / "jobs"
+JOBS.mkdir(exist_ok=True)
+
+print("worker ready:", jax.devices(), flush=True)
+(JOBS / ".ready").write_text("ready")
+
+shared = {"jax": jax}
+while True:
+    for job in sorted(JOBS.glob("*.py")):
+        out_path = job.with_suffix(".out")
+        if out_path.exists():
+            continue
+        buf = io.StringIO()
+        t0 = time.time()
+        try:
+            code = job.read_text()
+            with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(buf):
+                exec(compile(code, str(job), "exec"), shared)
+            status = "ok"
+        except Exception:
+            buf.write(traceback.format_exc())
+            status = "error"
+        out_path.write_text(
+            buf.getvalue() + f"\n[{status} in {time.time() - t0:.1f}s]\n"
+        )
+        print(f"job {job.name}: {status}", flush=True)
+    if (JOBS / ".stop").exists():
+        break
+    time.sleep(2)

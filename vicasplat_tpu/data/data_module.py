@@ -16,6 +16,7 @@ import numpy as np
 
 from ..utils.step_tracker import StepTracker
 from .dataset_re10k import DatasetRE10k, DatasetRE10kConfig
+from .dataset_scannet import DatasetScannet, DatasetScannetConfig
 from .view_samplers import make_view_sampler
 
 
@@ -83,6 +84,8 @@ DATASETS = {
     "dl3dv": (DatasetRE10k, DatasetRE10kConfig),
     "scannetpp": (DatasetRE10k, DatasetRE10kConfig),
     "mvimgnet": (DatasetRE10k, DatasetRE10kConfig),
+    "scannet": (DatasetScannet, DatasetScannetConfig),
+    "scannet_pose": (DatasetScannet, DatasetScannetConfig),
 }
 
 

@@ -45,6 +45,22 @@ def rescale_and_crop(images: np.ndarray, intrinsics: np.ndarray,
     return center_crop(images, intrinsics, shape)
 
 
+def _crop_depth(depth: np.ndarray, shape: tuple[int, int]) -> np.ndarray:
+    """(V, H, W) depth -> nearest-resize + center crop matching the image."""
+    h_in, w_in = depth.shape[1:3]
+    h_out, w_out = shape
+    scale = max(h_out / h_in, w_out / w_in)
+    h_s, w_s = round(h_in * scale), round(w_in * scale)
+    out = np.stack([
+        np.asarray(
+            Image.fromarray(d).resize((w_s, h_s), Image.NEAREST), np.float32
+        )
+        for d in depth.astype(np.float32)
+    ])
+    row, col = (h_s - h_out) // 2, (w_s - w_out) // 2
+    return out[:, row:row + h_out, col:col + w_out]
+
+
 def apply_crop_shim(example: dict, shape: tuple[int, int]) -> dict:
     out = dict(example)
     for side in ("context", "target"):
@@ -52,6 +68,8 @@ def apply_crop_shim(example: dict, shape: tuple[int, int]) -> dict:
         views["image"], views["intrinsics"] = rescale_and_crop(
             views["image"], views["intrinsics"], shape
         )
+        if "depth" in views:
+            views["depth"] = _crop_depth(views["depth"], shape)
         out[side] = views
     return out
 

@@ -204,7 +204,7 @@ def postprocess_pts3d_exp(raw_xyz: jnp.ndarray) -> jnp.ndarray:
 
 def postprocess_conf_exp(raw: jnp.ndarray, vmin: float = 1.0, vmax: float = jnp.inf):
     x = raw.astype(jnp.float32)
-    return vmin + jnp.clip(jnp.exp(x), a_max=vmax - vmin)
+    return vmin + jnp.clip(jnp.exp(x), max=vmax - vmin)
 
 
 # ---------------------------------------------------------------------------

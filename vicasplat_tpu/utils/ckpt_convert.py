@@ -313,3 +313,121 @@ def export_torch_state_dict(params: dict) -> Dict[str, np.ndarray]:
             params["camera_intrinsic_head"]["proj"],
         )
     return sd
+
+
+# ---------------------------------------------------------------------------
+# DUSt3R/MASt3R checkpoints
+# ---------------------------------------------------------------------------
+
+def convert_dust3r_state_dict(sd: Dict[str, np.ndarray]) -> dict:
+    """MASt3R/DUSt3R-style checkpoint ({'model': sd}) -> models/dust3r pytree.
+
+    (key layout: reference src/model/distiller/dust3d_backbone.py; a missing
+    dec_blocks2 is duplicated from dec_blocks, :56-62)
+    """
+    if not any(k.startswith("dec_blocks2") for k in sd):
+        sd = dict(sd)
+        for k, v in list(sd.items()):
+            if k.startswith("dec_blocks."):
+                sd[k.replace("dec_blocks.", "dec_blocks2.", 1)] = v
+
+    n_enc = 1 + max(
+        int(m.group(1)) for k in sd
+        if (m := re.match(r"enc_blocks\.(\d+)\.", k))
+    )
+    n_dec = 1 + max(
+        int(m.group(1)) for k in sd
+        if (m := re.match(r"dec_blocks\.(\d+)\.", k))
+    )
+
+    def cross_block(p):
+        return {
+            "norm1": _ln(sd, p + ".norm1"),
+            "attn": {"qkv": _lin(sd, p + ".attn.qkv"), "proj": _lin(sd, p + ".attn.proj")},
+            "norm2": _ln(sd, p + ".norm2"),
+            "cross_attn": {
+                "projq": _lin(sd, p + ".cross_attn.projq"),
+                "projk": _lin(sd, p + ".cross_attn.projk"),
+                "projv": _lin(sd, p + ".cross_attn.projv"),
+                "proj": _lin(sd, p + ".cross_attn.proj"),
+            },
+            "norm3": _ln(sd, p + ".norm3"),
+            "norm_y": _ln(sd, p + ".norm_y"),
+            "mlp": _mlp(sd, p + ".mlp"),
+        }
+
+    import jax
+
+    params = {
+        "patch_embed": {"proj": _conv(sd, "patch_embed.proj")},
+        "enc_blocks": _stack([_enc_block(sd, f"enc_blocks.{i}") for i in range(n_enc)]),
+        "enc_norm": _ln(sd, "enc_norm"),
+        "decoder_embed": _lin(sd, "decoder_embed"),
+        "dec_blocks": _stack([cross_block(f"dec_blocks.{i}") for i in range(n_dec)]),
+        "dec_blocks2": _stack([cross_block(f"dec_blocks2.{i}") for i in range(n_dec)]),
+        "dec_norm": _ln(sd, "dec_norm"),
+        "head1": _dpt(sd, "downstream_head1.dpt", "regression"),
+        "head2": _dpt(sd, "downstream_head2.dpt", "regression"),
+    }
+    return jax.tree.map(jnp.asarray, params)
+
+
+def mast3r_to_vicasplat_params(sd: Dict[str, np.ndarray], params: dict,
+                               drop_conf: bool = True) -> dict:
+    """Overlay matching MASt3R/DUSt3R weights onto an initialized VicaSplat
+    pytree: encoder trunk, decoder self/cross attention + mlps, center head.
+
+    (parity: reference src/misc/weight_modify.py:144-203 — keys present in
+    the target keep their values; VicaNet-only params (camera tokens,
+    modulations, mlp_cam, gs head) keep their fresh init; the teacher's conf
+    output channel is sliced off when the student head has none.)
+    """
+    import copy
+
+    import jax
+
+    params = copy.deepcopy(jax.tree.map(np.asarray, params))
+    bb = params["backbone"]
+
+    bb["patch_embed"]["proj"] = jax.tree.map(
+        np.asarray, _conv(sd, "patch_embed.proj")
+    )
+    bb["enc_norm"] = _ln(sd, "enc_norm")
+    bb["decoder_embed"] = _lin(sd, "decoder_embed")
+    bb["dec_norm"] = _ln(sd, "dec_norm")
+
+    n_enc = bb["enc_blocks"]["norm1"]["scale"].shape[0]
+    enc = _stack([_enc_block(sd, f"enc_blocks.{i}") for i in range(n_enc)])
+    bb["enc_blocks"] = jax.tree.map(np.asarray, enc)
+
+    n_dec = bb["dec_blocks"]["norm1"]["scale"].shape[0]
+    for i in range(n_dec):
+        p = f"dec_blocks.{i}"
+        for name, val in (
+            ("norm1", _ln(sd, p + ".norm1")),
+            ("norm2", _ln(sd, p + ".norm2")),
+            ("norm3", _ln(sd, p + ".norm3")),
+        ):
+            for leaf, x in val.items():
+                bb["dec_blocks"][name][leaf][i] = x
+        for leaf, x in _lin(sd, p + ".attn.qkv").items():
+            bb["dec_blocks"]["attn"]["qkv"][leaf][i] = x
+        for leaf, x in _lin(sd, p + ".attn.proj").items():
+            bb["dec_blocks"]["attn"]["proj"][leaf][i] = x
+        if "cross_attn" in bb["dec_blocks"]:
+            for sub in ("projq", "projk", "projv", "proj"):
+                for leaf, x in _lin(sd, p + f".cross_attn.{sub}").items():
+                    bb["dec_blocks"]["cross_attn"][sub][leaf][i] = x
+        for sub in ("fc1", "fc2"):
+            for leaf, x in _lin(sd, p + f".mlp.{sub}").items():
+                bb["dec_blocks"]["mlp"][sub][leaf][i] = x
+
+    head = _dpt(sd, "downstream_head1.dpt", "regression")
+    tgt_out = params["center_head"]["head"]["conv3"]["b"].shape[0]
+    src_out = head["head"]["conv3"]["b"].shape[0]
+    if drop_conf and src_out == tgt_out + 1:
+        head["head"]["conv3"]["w"] = head["head"]["conv3"]["w"][..., :tgt_out]
+        head["head"]["conv3"]["b"] = head["head"]["conv3"]["b"][:tgt_out]
+    params["center_head"] = head
+
+    return jax.tree.map(jnp.asarray, params)

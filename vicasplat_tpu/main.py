@@ -78,10 +78,13 @@ def train(cfg):
     mesh = make_mesh()
     opt_state = optimizer.init(params)
     lpips_fn = _maybe_lpips(cfg)
+    teacher_fn = _maybe_distiller(cfg)
     step_fn = jax.jit(
-        make_train_step(train_cfg, optimizer, lpips_fn=lpips_fn),
+        make_train_step(train_cfg, optimizer, lpips_fn=lpips_fn,
+                        teacher_fn=teacher_fn),
         donate_argnums=(0, 1),
     )
+    writer = _make_tb_writer(cfg)
 
     max_steps = cfg.trainer.max_steps if cfg.trainer.max_steps > 0 else 10**9
     global_step = 0
@@ -108,12 +111,65 @@ def train(cfg):
                         f"{cfg.train.print_log_every_n_steps / dt:.2f} it/s",
                         flush=True,
                     )
+                    if writer is not None:
+                        for k, v in logs.items():
+                            writer.add_scalar(f"train/{k}", float(v), global_step)
                 if ckpt.should_save(global_step):
                     ckpt.save(global_step, jax.device_get(params))
                 if global_step >= max_steps:
                     break
     ckpt.save(global_step, jax.device_get(params))
     print("training done")
+
+
+def _make_tb_writer(cfg):
+    """TensorBoard scalar logging (the reference's wandb/LocalTensorboard
+    fallback, reference src/main.py:66-83); gated on tensorboard presence."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(log_dir=f"{cfg.output_dir}/tb")
+    except Exception:
+        return None
+
+
+def _maybe_distiller(cfg):
+    """Frozen DUSt3R/MASt3R teacher for the distillation stage (reference
+    src/model/distiller/__init__.py:9-23). Requires a converted teacher
+    checkpoint at checkpoints/<distiller>.ckpt or $DISTILLER_CKPT."""
+    if not cfg.train.distiller:
+        return None
+    import os
+    import pathlib
+
+    import jax.numpy as jnp
+
+    from .models.dust3r import Dust3RConfig, dust3r_forward, init_dust3r
+    from .utils.ckpt_convert import convert_dust3r_state_dict
+
+    path = os.environ.get(
+        "DISTILLER_CKPT", f"checkpoints/{cfg.train.distiller}.ckpt"
+    )
+    d_cfg = Dust3RConfig(img_size=cfg.encoder.backbone.img_size)
+    if pathlib.Path(path).exists():
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        sd = ckpt.get("model", ckpt)
+        sd = {k: v.float().numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+        t_params = convert_dust3r_state_dict(sd)
+        print(f"loaded distiller weights from {path}")
+    else:
+        print(f"WARNING: distiller checkpoint {path} missing — "
+              "using random teacher weights (distillation will be meaningless)")
+        t_params = init_dust3r(jax.random.PRNGKey(1), d_cfg)
+    t_params = jax.lax.stop_gradient(t_params)
+
+    def teacher_fn(img1, img2):
+        out = dust3r_forward(t_params, d_cfg, img1, img2, dtype=jnp.bfloat16)
+        return jax.lax.stop_gradient(out)
+
+    return teacher_fn
 
 
 def _maybe_lpips(cfg):

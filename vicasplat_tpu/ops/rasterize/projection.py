@@ -10,6 +10,11 @@ reference: src/model/decoder/cuda_splatting.py:233-234).
 Semantics follow the classic 3DGS pipeline the reference's renderers
 implement: perspective EWA with frustum-clamped Jacobian, +0.3px low-pass
 dilation, 3-sigma radius, near-plane cull at z<=0.2.
+
+TPU layout note: everything is computed on flat (N,) vectors — the camera
+rotation entries are scalars, so all matrix products unroll to scalar-coeff
+FMAs on full 8x128 vector lanes. Batched (N, 3, 3) einsums would waste ~98%
+of each vector register on the 3-wide trailing dim.
 """
 from __future__ import annotations
 
@@ -17,7 +22,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..sh import eval_sh_colors
+from ..sh import sh_basis
 
 
 class Splats(NamedTuple):
@@ -49,32 +54,59 @@ def project_gaussians(
 
     R = viewmat[:3, :3]
     t = viewmat[:3, 3]
-    p_cam = means @ R.T + t  # (N, 3)
-    z = p_cam[..., 2]
-    valid = z > jnp.maximum(near, 0.01)
-    z_safe = jnp.where(valid, z, 1.0)
 
-    # EWA Jacobian with frustum clamping (limits 1.3 * tan(fov/2))
+    # ---- SoA: world means as three (N,) vectors ----
+    wx, wy, wz = means[:, 0], means[:, 1], means[:, 2]
+    px = R[0, 0] * wx + R[0, 1] * wy + R[0, 2] * wz + t[0]
+    py = R[1, 0] * wx + R[1, 1] * wy + R[1, 2] * wz + t[1]
+    pz = R[2, 0] * wx + R[2, 1] * wy + R[2, 2] * wz + t[2]
+
+    valid = pz > jnp.maximum(near, 0.01)
+    z_safe = jnp.where(valid, pz, 1.0)
+
     tan_fovx = 0.5 * W / fx
     tan_fovy = 0.5 * H / fy
     lim_x = 1.3 * tan_fovx
     lim_y = 1.3 * tan_fovy
-    tx = jnp.clip(p_cam[..., 0] / z_safe, -lim_x, lim_x) * z_safe
-    ty = jnp.clip(p_cam[..., 1] / z_safe, -lim_y, lim_y) * z_safe
+    tx = jnp.clip(px / z_safe, -lim_x, lim_x) * z_safe
+    ty = jnp.clip(py / z_safe, -lim_y, lim_y) * z_safe
 
     inv_z = 1.0 / z_safe
     inv_z2 = inv_z * inv_z
-    # J = [[fx/z, 0, -fx*tx/z^2], [0, fy/z, -fy*ty/z^2]]
     j00 = fx * inv_z
     j02 = -fx * tx * inv_z2
     j11 = fy * inv_z
     j12 = -fy * ty * inv_z2
 
-    # cov_cam = R Sigma R^T; cov2d = J cov_cam J^T + eps2d * I
-    cov_cam = jnp.einsum("ij,njk,lk->nil", R, covariances, R)
-    # rows of J applied from both sides (only 3 unique entries)
-    c00, c01, c02 = cov_cam[:, 0, 0], cov_cam[:, 0, 1], cov_cam[:, 0, 2]
-    c11, c12, c22 = cov_cam[:, 1, 1], cov_cam[:, 1, 2], cov_cam[:, 2, 2]
+    # ---- world covariance as 6 (N,) components ----
+    s00 = covariances[:, 0, 0]
+    s01 = covariances[:, 0, 1]
+    s02 = covariances[:, 0, 2]
+    s11 = covariances[:, 1, 1]
+    s12 = covariances[:, 1, 2]
+    s22 = covariances[:, 2, 2]
+
+    def row_sigma(i):
+        """(R_i . Sigma) as three (N,) vectors — scalar-coeff FMAs."""
+        r0, r1, r2 = R[i, 0], R[i, 1], R[i, 2]
+        c0 = r0 * s00 + r1 * s01 + r2 * s02
+        c1 = r0 * s01 + r1 * s11 + r2 * s12
+        c2 = r0 * s02 + r1 * s12 + r2 * s22
+        return c0, c1, c2
+
+    def dot_row(c, i):
+        return c[0] * R[i, 0] + c[1] * R[i, 1] + c[2] * R[i, 2]
+
+    row0 = row_sigma(0)
+    row1 = row_sigma(1)
+    row2 = row_sigma(2)
+    c00 = dot_row(row0, 0)
+    c01 = dot_row(row0, 1)
+    c02 = dot_row(row0, 2)
+    c11 = dot_row(row1, 1)
+    c12 = dot_row(row1, 2)
+    c22 = dot_row(row2, 2)
+
     a = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22) + eps2d
     b = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
     c = j11 * (j11 * c11 + j12 * c12) + j12 * (j11 * c12 + j12 * c22) + eps2d
@@ -85,37 +117,38 @@ def project_gaussians(
     inv_det = 1.0 / det_safe
     conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
 
-    # 3-sigma radius from the larger eigenvalue
     mid = 0.5 * (a + c)
     lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det_safe))
     radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
 
-    mean2d = jnp.stack(
-        [fx * p_cam[..., 0] * inv_z + cx, fy * p_cam[..., 1] * inv_z + cy],
-        axis=-1,
-    )
+    u = fx * px * inv_z + cx
+    v = fy * py * inv_z + cy
+    mean2d = jnp.stack([u, v], axis=-1)
 
-    # off-screen cull
     on_screen = (
-        (mean2d[..., 0] + radius > 0)
-        & (mean2d[..., 0] - radius < W)
-        & (mean2d[..., 1] + radius > 0)
-        & (mean2d[..., 1] - radius < H)
+        (u + radius > 0) & (u - radius < W) & (v + radius > 0) & (v - radius < H)
     )
     keep = valid & det_valid & on_screen
     radius = jnp.where(keep, radius, 0.0)
 
-    # view-dependent color
-    campos = -R.T @ t  # camera origin in world
-    dirs = means - campos
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
-    color = eval_sh_colors(harmonics, dirs, sh_degree)
+    # ---- view-dependent color: SoA SH contraction ----
+    campos = -R.T @ t
+    dx = wx - campos[0]
+    dy = wy - campos[1]
+    dz = wz - campos[2]
+    inv_n = 1.0 / jnp.maximum(jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-8)
+    dirs = jnp.stack([dx * inv_n, dy * inv_n, dz * inv_n], axis=-1)
+    basis = sh_basis(dirs, sh_degree)  # (N, d)
+    d = basis.shape[-1]
+    # contraction as d scalar-weighted accumulations per channel
+    color = jnp.einsum("ncd,nd->nc", harmonics[..., :d], basis)
+    color = jnp.maximum(color + 0.5, 0.0)
 
     return Splats(
         mean2d=mean2d,
         conic=conic,
         color=color,
         alpha=jnp.where(keep, opacities, 0.0),
-        depth=z,
+        depth=pz,
         radius=radius,
     )

@@ -23,8 +23,8 @@ from .tiles import bin_splats, composite_tiles
 @dataclasses.dataclass(frozen=True)
 class RasterizeConfig:
     tile_px: int = 16
-    dup_hw: tuple = (3, 3)       # max tiles a splat may cover (centered window)
-    max_per_tile: int = 768      # front-most splats kept per tile
+    dup_hw: tuple = (2, 2)       # max tiles a splat may cover (centered window)
+    max_per_tile: int = 512      # front-most splats kept per tile
     chunk: int = 128             # compositing chunk (matmul G dim)
     tile_group: int = 64         # tiles composited together per map step
 

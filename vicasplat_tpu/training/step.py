@@ -35,10 +35,57 @@ class TrainConfig:
     camera: LossCameraConfig = LossCameraConfig()
     dtype: str = "bfloat16"
     remat: bool = True
+    distill_weight: float = 1.0
+
+
+def distillation_loss(out, teacher_fn, batch, key):
+    """Distillation branch: two random anchor frames -> frozen teacher
+    pseudo-pts3d (view-1 frame) -> transform to the canonical (first-context)
+    frame via GT anchor pose -> Regr3D against the student's point/conf maps.
+
+    (parity: reference model_wrapper.py:249-301; anchor sampling simplified
+    to two distinct random frames.)
+    """
+    from ..loss.conf_point import Regr3DConfig, regr3d_loss
+
+    ctx = batch["context"]
+    B, T = ctx["image"].shape[:2]
+    idx = jax.random.permutation(key, T)[:2]
+    idx = jnp.sort(idx)
+    anchor = jnp.take(ctx["image"], idx, axis=1)  # (B, 2, H, W, 3) in [0,1]
+
+    teacher = teacher_fn(anchor[:, 0] * 2 - 1, anchor[:, 1] * 2 - 1)
+    first_ext = jnp.take(ctx["extrinsics"], idx[:1], axis=1)[:, 0]  # (B,4,4)
+
+    def to_canonical(pts):
+        return (
+            jnp.einsum("bij,bhwj->bhwi", first_ext[:, :3, :3], pts)
+            + first_ext[:, None, None, :3, 3]
+        )
+
+    pseudo = jnp.stack(
+        [to_canonical(teacher["view1"]["pts3d"]),
+         to_canonical(teacher["view2"]["pts3d"])], axis=1
+    )
+    pseudo_conf = jnp.stack(
+        [teacher["view1"]["conf"], teacher["view2"]["conf"]], axis=1
+    )
+    pred_pts = jnp.take(out["gaussian_centers"], idx, axis=1)
+    if out.get("confidence") is not None:
+        pred_conf = jnp.take(out["confidence"], idx, axis=1)
+    else:
+        pred_conf = jnp.ones_like(pseudo_conf)
+    loss, logs = regr3d_loss(
+        pred_pts, pred_conf, pseudo, pseudo_conf,
+        Regr3DConfig(normalize_pointcloud=T > 2,
+                     match_confidence=out.get("confidence") is not None),
+    )
+    return loss, logs
 
 
 def compute_loss(params, cfg: TrainConfig, batch, global_step, lpips_fn=None,
-                 lpips_weight: float = 0.05):
+                 lpips_weight: float = 0.05, teacher_fn=None,
+                 distill_key=None):
     """batch: {"context": {image (B,T,H,W,3) in [0,1], intrinsics, extrinsics,
     near, far}, "target": {...}}. Images are shimmed to [-1,1] here."""
     ctx, tgt = batch["context"], batch["target"]
@@ -69,6 +116,9 @@ def compute_loss(params, cfg: TrainConfig, batch, global_step, lpips_fn=None,
     }
     if lpips_fn is not None:
         losses["lpips"] = lpips_weight * lpips_fn(rendered.color, tgt["image"])
+    if teacher_fn is not None:
+        d_loss, d_logs = distillation_loss(out, teacher_fn, batch, distill_key)
+        losses["distillation"] = cfg.distill_weight * d_loss
     loss = sum(losses.values())
     mse_val = ((rendered.color - tgt["image"]) ** 2).mean()
     logs = dict(losses, psnr=-10.0 * jnp.log10(jnp.clip(mse_val, 1e-10)))
@@ -76,11 +126,12 @@ def compute_loss(params, cfg: TrainConfig, batch, global_step, lpips_fn=None,
 
 
 def make_train_step(cfg: TrainConfig, optimizer: optax.GradientTransformation,
-                    lpips_fn=None):
+                    lpips_fn=None, teacher_fn=None):
     def train_step(params, opt_state, batch, global_step):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), global_step)
         (loss, logs), grads = jax.value_and_grad(
             compute_loss, has_aux=True
-        )(params, cfg, batch, global_step, lpips_fn)
+        )(params, cfg, batch, global_step, lpips_fn, 0.05, teacher_fn, key)
         # NaN-grad guard (reference src/main.py:42-47 zeroes NaN grads)
         grads = jax.tree.map(
             lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)), grads

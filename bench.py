@@ -62,15 +62,16 @@ def main():
         )
         return rendered.color, out["gaussian_camera_extrins"]
 
-    # warmup/compile
+    # warmup/compile; a float() pull forces real completion (the axon
+    # backend's block_until_ready returns before execution finishes)
     color, poses = e2e(params, batch)
-    jax.block_until_ready((color, poses))
+    _ = float(color.ravel()[0]) + float(poses.ravel()[0])
 
-    n_iters = 5
+    n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
         color, poses = e2e(params, batch)
-    jax.block_until_ready((color, poses))
+    _ = float(color.ravel()[0])
     dt = (time.perf_counter() - t0) / n_iters
 
     print(json.dumps({

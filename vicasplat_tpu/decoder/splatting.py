@@ -61,7 +61,7 @@ def decoder_forward(
         gaussians = flatten_gaussians(gaussians)
     if sh_degree is None:
         sh_degree = int(round(gaussians.harmonics.shape[-1] ** 0.5)) - 1
-    bg = jnp.asarray(cfg.background_color, jnp.float32)
+    bg = tuple(float(c) for c in cfg.background_color)  # static for pallas
 
     if cfg.make_scale_invariant:
         scale = 1.0 / near[:, 0]  # (B,)

@@ -116,10 +116,55 @@ def train(cfg):
                             writer.add_scalar(f"train/{k}", float(v), global_step)
                 if ckpt.should_save(global_step):
                     ckpt.save(global_step, jax.device_get(params))
+                if (
+                    cfg.trainer.val_check_interval > 0
+                    and global_step % cfg.trainer.val_check_interval == 0
+                ):
+                    try:
+                        _validation_visuals(cfg, params, dm, global_step, writer)
+                    except StopIteration:
+                        pass
                 if global_step >= max_steps:
                     break
     ckpt.save(global_step, jax.device_get(params))
     print("training done")
+
+
+def _validation_visuals(cfg, params, dm, global_step, writer):
+    """Render one val example and save a GT-vs-render comparison grid
+    (the reference's validation_step visuals, model_wrapper.py:523-681)."""
+    import pathlib
+
+    import numpy as np
+
+    from .decoder.splatting import decoder_forward
+    from .models import vicasplat_forward
+    from .utils.image_io import save_image
+    from .visualization.layout import add_label, hcat, vcat
+
+    batch = next(iter(dm.val_dataloader()))
+    ctx, tgt = batch["context"], batch["target"]
+    h, w = tgt["image"].shape[-3:-1]
+    out = vicasplat_forward(
+        params, cfg.encoder, dict(ctx, image=ctx["image"] * 2 - 1),
+        global_step, dtype=jnp.bfloat16,
+    )
+    rendered = decoder_forward(
+        cfg.decoder, out["gaussians"], tgt["extrinsics"], tgt["intrinsics"],
+        tgt["near"], tgt["far"], (h, w),
+    )
+    n = min(4, tgt["image"].shape[1])
+    gt_row = hcat(*[np.asarray(tgt["image"][0, i]) for i in range(n)])
+    pr_row = hcat(*[np.asarray(rendered.color[0, i]) for i in range(n)])
+    grid = vcat(add_label(gt_row, "target (GT)"),
+                add_label(pr_row, "rendered"))
+    path = pathlib.Path(cfg.output_dir) / "val" / f"step_{global_step:07d}.png"
+    save_image(grid, path)
+    if writer is not None:
+        writer.add_image(
+            "val/comparison", np.clip(grid, 0, 1).transpose(2, 0, 1),
+            global_step,
+        )
 
 
 def _make_tb_writer(cfg):

@@ -27,6 +27,10 @@ class RasterizeConfig:
     max_per_tile: int = 512      # front-most splats kept per tile
     chunk: int = 128             # compositing chunk (matmul G dim)
     tile_group: int = 64         # tiles composited together per map step
+    # "pallas": fused per-tile kernel with early termination (forward; the
+    # backward rematerializes through the XLA path). "xla": pure-XLA matmul
+    # compositing. Pallas requires a *static* background color (a tuple).
+    backend: str = "xla"
 
 
 def render_view(
@@ -47,8 +51,17 @@ def render_view(
         image_shape, sh_degree, near=near,
     )
     bins = bin_splats(splats, image_shape, cfg.tile_px, cfg.dup_hw, cfg.max_per_tile)
+    if cfg.backend == "pallas":
+        from .pallas_composite import composite_tiles_pallas
+
+        bg = tuple(float(x) for x in background) if not isinstance(
+            background, tuple
+        ) else background
+        return composite_tiles_pallas(
+            bins, tuple(image_shape), cfg.tile_px, bg, cfg.chunk
+        )
     return composite_tiles(
-        bins, image_shape, cfg.tile_px, background,
+        bins, image_shape, cfg.tile_px, jnp.asarray(background, jnp.float32),
         chunk=cfg.chunk, tile_group=cfg.tile_group,
     )
 

@@ -11,10 +11,19 @@ Prints one JSON line:
    "vs_baseline": <0.1 / value>}   (>1 means faster than the reference claim)
 """
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# persistent compile cache: first-ever run pays ~2-3 min of XLA compile,
+# later runs start in seconds
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 def main():

@@ -67,6 +67,8 @@ class VicaSplatConfig:
 
 
 def init_vicasplat(key, cfg: VicaSplatConfig):
+    from .heads import init_linear_head
+
     k_bb, k_h1, k_h2 = jax.random.split(key, 3)
     bb = cfg.backbone
     hook_dims = (bb.enc_embed_dim, bb.dec_embed_dim, bb.dec_embed_dim, bb.dec_embed_dim)
@@ -83,10 +85,22 @@ def init_vicasplat(key, cfg: VicaSplatConfig):
         patch_size=bb.patch_size,
         use_input_merger=True,
     )
+    if cfg.gs_center_head_type == "dpt":
+        center_head = init_dpt(k_h1, center_cfg)
+    else:  # linear pixel-shuffle head (reference heads/linear_head.py:12-42)
+        center_head = init_linear_head(
+            k_h1, bb.dec_embed_dim, bb.patch_size, center_cfg.num_channels
+        )
+    if cfg.gs_param_head_type in ("dpt", "dpt_gs"):
+        gs_head = init_dpt(k_h2, gs_cfg)
+    else:
+        gs_head = init_linear_head(
+            k_h2, bb.dec_embed_dim, bb.patch_size, gs_cfg.num_channels
+        )
     params = {
         "backbone": init_vicanet(k_bb, bb),
-        "center_head": init_dpt(k_h1, center_cfg),
-        "gaussian_param_head": init_dpt(k_h2, gs_cfg),
+        "center_head": center_head,
+        "gaussian_param_head": gs_head,
         "camera_extrinsic_head": init_camera_extrinsic_head(
             bb.dec_embed_dim, cfg.camera_extrinsic_channels
         ),
@@ -172,9 +186,17 @@ def vicasplat_forward(
         head_type="regression",
         patch_size=bb.patch_size,
     )
-    center_out = dpt_regression_head(
-        params["center_head"], center_cfg, hook_tokens, grid_hw, dtype
-    )  # (B*T, H, W, 3[+1])
+    if cfg.gs_center_head_type == "dpt":
+        center_out = dpt_regression_head(
+            params["center_head"], center_cfg, hook_tokens, grid_hw, dtype
+        )  # (B*T, H, W, 3[+1])
+    else:
+        from .heads import linear_head
+
+        center_out = linear_head(
+            params["center_head"], hook_tokens[-1], grid_hw, bb.patch_size,
+            center_cfg.num_channels, dtype,
+        )
     gs_centers = postprocess_pts3d_exp(center_out[..., :3]).reshape(B, T, H, W, 3)
     conf = (
         postprocess_conf_exp(center_out[..., 3]).reshape(B, T, H, W)
@@ -209,10 +231,18 @@ def vicasplat_forward(
         patch_size=bb.patch_size,
         use_input_merger=True,
     )
-    gs_params_out = dpt_gs_head(
-        params["gaussian_param_head"], gs_cfg, hook_tokens, grid_hw,
-        images.reshape(B * T, H, W, 3), dtype,
-    ).reshape(B, T, H, W, -1)
+    if cfg.gs_param_head_type in ("dpt", "dpt_gs"):
+        gs_params_out = dpt_gs_head(
+            params["gaussian_param_head"], gs_cfg, hook_tokens, grid_hw,
+            images.reshape(B * T, H, W, 3), dtype,
+        ).reshape(B, T, H, W, -1)
+    else:
+        from .heads import linear_head
+
+        gs_params_out = linear_head(
+            params["gaussian_param_head"], hook_tokens[-1], grid_hw,
+            bb.patch_size, gs_cfg.num_channels, dtype,
+        ).reshape(B, T, H, W, -1)
 
     raw_gaussians = jnp.concatenate(
         [gs_centers, gs_params_out.astype(jnp.float32)], axis=-1

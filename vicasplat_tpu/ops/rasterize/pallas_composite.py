@@ -11,6 +11,12 @@ to tile granularity, which is what the tile-level matmul formulation wants).
 Forward-only: `composite_tiles_pallas` is wrapped in a custom_vjp whose
 backward rematerializes through the (numerically identical) XLA path, so
 training gets the same gradients while inference gets the fast kernel.
+
+STATUS: experimental — measured on v5e this kernel currently loses to the
+XLA matmul formulation (the tiny per-chunk blocks underutilize the pipeline;
+the early-exit predication doesn't offset that at 512-splat tile depth), so
+RasterizeConfig defaults to backend="xla". Kept as the base for a fused
+binning+compositing kernel in a future revision.
 """
 from __future__ import annotations
 
@@ -27,28 +33,37 @@ from .tiles import TileBins, composite_tiles as composite_tiles_xla
 _LOG_T_EPS = math.log(1e-4)  # stop once max transmittance under this
 
 
-def _kernel(base_ref, payload_ref, out_ref, *, tile_px: int, chunk: int,
-            tiles_x: int, n_chunks: int):
+def _kernel(base_ref, payload_ref, out_ref, logt_ref, rgbd_ref, *,
+            tile_px: int, chunk: int, tiles_x: int, n_chunks: int):
+    """Grid = (tiles_in_group, n_chunks); the chunk axis is innermost, so the
+    (logt, rgbd) VMEM scratch carries per-tile compositing state across grid
+    steps. Saturated tiles skip whole chunks via @pl.when — the early exit."""
     P = tile_px * tile_px
     G = chunk
 
+    j = pl.program_id(1)
     tile_id = pl.program_id(0) + base_ref[0]
     ty = tile_id // tiles_x
     tx = tile_id % tiles_x
 
-    # pixel centers of this tile as (P, 1) columns. Mosaic can't shape-cast
-    # (t, t) -> (P, 1), so derive row/col from a linear (P, 1) iota.
-    lin = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    oy = (lin // tile_px).astype(jnp.float32)
-    ox = (lin % tile_px).astype(jnp.float32)
-    px = (tx * tile_px).astype(jnp.float32) + ox + 0.5
-    py = (ty * tile_px).astype(jnp.float32) + oy + 0.5
+    @pl.when(j == 0)
+    def _init():
+        logt_ref[:] = jnp.zeros((P, 1), jnp.float32)
+        rgbd_ref[:] = jnp.zeros((P, 4), jnp.float32)
 
-    tri = jnp.triu(jnp.ones((G, G), jnp.float32), k=1)
+    alive = jnp.max(logt_ref[:]) > _LOG_T_EPS
 
-    def chunk_body(state):
-        idx, log_t, rgbd, _ = state
-        pl_chunk = payload_ref[0, pl.ds(idx * G, G), :]  # (G, 16)
+    @pl.when(alive)
+    def _composite_chunk():
+        # pixel centers as (P, 1) columns (Mosaic can't shape-cast (t, t) ->
+        # (P, 1), so derive row/col from a linear iota)
+        lin = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        oy = (lin // tile_px).astype(jnp.float32)
+        ox = (lin % tile_px).astype(jnp.float32)
+        px = (tx * tile_px).astype(jnp.float32) + ox + 0.5
+        py = (ty * tile_px).astype(jnp.float32) + oy + 0.5
+
+        pl_chunk = payload_ref[0]  # (G, 16) — block is pipelined per (i, j)
         mx = pl_chunk[:, 0][None, :]
         my = pl_chunk[:, 1][None, :]
         ca = pl_chunk[:, 2][None, :]
@@ -63,31 +78,22 @@ def _kernel(base_ref, payload_ref, out_ref, *, tile_px: int, chunk: int,
         a = jnp.where((power > 0.0) | (a < 1.0 / 255.0), 0.0, a)
 
         logom = jnp.log1p(-a)
+        tri = jnp.triu(jnp.ones((G, G), jnp.float32), k=1)
         prefix = jnp.dot(logom, tri, preferred_element_type=jnp.float32)
-        w = jnp.exp(log_t + prefix) * a  # (P, G)
+        w = jnp.exp(logt_ref[:] + prefix) * a  # (P, G)
 
         feats = pl_chunk[:, 6:10]  # (G, 4)
-        rgbd = rgbd + jnp.dot(w, feats, preferred_element_type=jnp.float32)
-        log_t = log_t + jnp.sum(logom, axis=1, keepdims=True)
-        alive = jnp.max(log_t) > _LOG_T_EPS
-        return idx + 1, log_t, rgbd, alive
+        rgbd_ref[:] = rgbd_ref[:] + jnp.dot(
+            w, feats, preferred_element_type=jnp.float32
+        )
+        logt_ref[:] = logt_ref[:] + jnp.sum(logom, axis=1, keepdims=True)
 
-    def cond(state):
-        idx, _, _, alive = state
-        return (idx < n_chunks) & alive
-
-    init = (
-        jnp.int32(0),
-        jnp.zeros((P, 1), jnp.float32),
-        jnp.zeros((P, 4), jnp.float32),
-        jnp.bool_(True),
-    )
-    _, log_t, rgbd, _ = jax.lax.while_loop(cond, chunk_body, init)
-
-    out = jnp.concatenate(
-        [rgbd, jnp.exp(log_t), jnp.zeros((P, 3), jnp.float32)], axis=1
-    )  # (P, 8): rgb, depth, T_final, pad
-    out_ref[0] = out
+    @pl.when(j == n_chunks - 1)
+    def _finalize():
+        out_ref[0] = jnp.concatenate(
+            [rgbd_ref[:], jnp.exp(logt_ref[:]), jnp.zeros((P, 3), jnp.float32)],
+            axis=1,
+        )  # (P, 8): rgb, depth, T_final, pad
 
 
 def _composite_pallas_raw(payload: jnp.ndarray, tile_px: int, chunk: int,
@@ -105,13 +111,17 @@ def _composite_pallas_raw(payload: jnp.ndarray, tile_px: int, chunk: int,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(tile_group,),
+        grid=(tile_group, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, K, C), lambda i, base_ref: (i, 0, 0),
+            pl.BlockSpec((1, chunk, C), lambda i, j, base_ref: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, P, 8), lambda i, base_ref: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, P, 8), lambda i, j, base_ref: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 4), jnp.float32),
+        ],
     )
 
     def call(args):
@@ -121,6 +131,12 @@ def _composite_pallas_raw(payload: jnp.ndarray, tile_px: int, chunk: int,
             interpret=interpret,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((tile_group, P, 8), jnp.float32),
+            # Mosaic's conservative scoped-vmem accounting rejects this
+            # kernel at the default 16MB limit; measured live usage is far
+            # lower, and v5e VMEM accommodates the raised cap.
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
             cost_estimate=pl.CostEstimate(
                 flops=2 * tile_group * P * K * 8,
                 bytes_accessed=tile_group * K * C * 4 + tile_group * P * 8 * 4,

@@ -57,15 +57,15 @@ def main():
     from ..utils.ply import read_ply
 
     data = read_ply(args.ply)
-    g = Gaussians(
-        means=jnp.asarray(data["means"]),
+    g = Gaussians(  # add a leading batch axis (decoder expects (B, N, ...))
+        means=jnp.asarray(data["means"])[None],
         covariances=build_covariance(
             jnp.asarray(data["scales"]), jnp.asarray(data["rotations"])
-        ),
-        harmonics=jnp.asarray(data["harmonics"]),
-        opacities=jnp.asarray(data["opacities"]),
-        scales=jnp.asarray(data["scales"]),
-        rotations=jnp.asarray(data["rotations"]),
+        )[None],
+        harmonics=jnp.asarray(data["harmonics"])[None],
+        opacities=jnp.asarray(data["opacities"])[None],
+        scales=jnp.asarray(data["scales"])[None],
+        rotations=jnp.asarray(data["rotations"])[None],
     )
     center = data["means"].mean(0)
     radius = 2.5 * float(np.abs(data["means"] - center).mean() + 1e-3)

@@ -1,0 +1,69 @@
+"""Sharding tests on the 8-virtual-device CPU mesh: DP batch sharding,
+FSDP param sharding, and a sharded train step executing correctly."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vicasplat_tpu.parallel import make_mesh, replicate, shard_batch
+from vicasplat_tpu.parallel.mesh import shard_params_fsdp
+
+
+class TestMesh:
+    def test_make_mesh(self):
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+
+    def test_shard_batch(self):
+        mesh = make_mesh()
+        batch = {"x": jnp.ones((8, 4, 4)), "nested": {"y": jnp.zeros((8, 2))}}
+        sharded = shard_batch(mesh, batch)
+        assert not sharded["x"].sharding.is_fully_replicated
+        # each device holds 1/8 of the batch
+        assert sharded["x"].addressable_shards[0].data.shape == (1, 4, 4)
+
+    def test_fsdp_sharding(self):
+        mesh = make_mesh()
+        params = {
+            "big": jnp.ones((1024, 256)),     # sharded (1024 % 8 == 0)
+            "small": jnp.ones((4,)),          # replicated (too small)
+            "odd": jnp.ones((257, 1023)),     # no divisible dim -> replicated
+        }
+        sharded = shard_params_fsdp(mesh, params)
+        assert not sharded["big"].sharding.is_fully_replicated
+        assert sharded["big"].addressable_shards[0].data.shape == (128, 256)
+        assert sharded["small"].sharding.is_fully_replicated
+        assert sharded["odd"].sharding.is_fully_replicated
+
+    def test_dp_psum_semantics(self):
+        """Sharded-batch loss grad == full-batch grad (XLA inserts the
+        all-reduce, matching DDP)."""
+        mesh = make_mesh()
+        w = jnp.ones((4, 4))
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 4))
+
+        def loss(w, x):
+            return ((x @ w) ** 2).mean()
+
+        g_full = jax.grad(loss)(w, x)
+        with mesh:
+            ws = replicate(mesh, w)
+            xs = shard_batch(mesh, x)
+            g_sharded = jax.jit(jax.grad(loss))(ws, xs)
+        np.testing.assert_allclose(g_full, g_sharded, atol=1e-6)
+
+    def test_fsdp_train_math_matches_replicated(self):
+        mesh = make_mesh()
+        w = jax.random.normal(jax.random.PRNGKey(1), (64 * 1024,)).reshape(256, 256)
+        x = jax.random.normal(jax.random.PRNGKey(2), (8, 256))
+
+        def loss(w, x):
+            return jnp.tanh(x @ w).sum()
+
+        g_ref = jax.grad(loss)(w, x)
+        with mesh:
+            wf = shard_params_fsdp(mesh, {"w": w}, min_size=1)["w"]
+            xs = shard_batch(mesh, x)
+            g = jax.jit(jax.grad(loss))(wf, xs)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)

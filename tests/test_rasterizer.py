@@ -222,3 +222,28 @@ class TestPallasComposite:
 
         g2 = jax.grad(loss2)(means)
         np.testing.assert_allclose(g, g2, rtol=1e-3, atol=1e-5)
+
+
+class TestRotateSH:
+    def test_rotated_function_values(self):
+        """rotate_sh must satisfy f'(d) = f(R^T d) at arbitrary directions."""
+        from vicasplat_tpu.geometry.se3 import so3_exp
+        from vicasplat_tpu.ops.sh import rotate_sh, sh_basis
+
+        key = jax.random.PRNGKey(0)
+        coeffs = jax.random.normal(key, (5, 25))
+        R = so3_exp(jnp.array([0.3, -0.5, 0.8]))
+        rotated = rotate_sh(coeffs, R)
+
+        dirs = jax.random.normal(jax.random.PRNGKey(1), (40, 3))
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        f_rot = sh_basis(dirs, 4) @ rotated.T          # (40, 5)
+        f_orig = sh_basis(dirs @ R, 4) @ coeffs.T       # f(R^T d)
+        np.testing.assert_allclose(f_rot, f_orig, atol=1e-4)
+
+    def test_identity_rotation(self):
+        from vicasplat_tpu.ops.sh import rotate_sh
+
+        coeffs = jax.random.normal(jax.random.PRNGKey(2), (3, 9))
+        out = rotate_sh(coeffs, jnp.eye(3))
+        np.testing.assert_allclose(out, coeffs, atol=1e-5)

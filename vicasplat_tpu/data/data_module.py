@@ -157,8 +157,18 @@ class DataModule:
     def train_dataloader(self):
         return self.loader("train")
 
-    def val_dataloader(self):
-        return self.loader("val")
+    def val_dataloader(self, num_examples: int = 1):
+        """Validation yields a handful of random examples per pass
+        (the reference's ValidationWrapper, validation_wrapper.py)."""
+        loader = self.loader("val")
+
+        def limited():
+            for i, batch in enumerate(loader):
+                if i >= num_examples:
+                    break
+                yield batch
+
+        return limited()
 
     def test_dataloader(self):
         return self.loader("test")

@@ -81,3 +81,41 @@ def eval_sh_colors(
     n = (degree + 1) ** 2
     rgb = jnp.einsum("...cd,...d->...c", harmonics[..., :n], basis)
     return jnp.maximum(rgb + 0.5, 0.0)
+
+
+def rotate_sh(harmonics: jnp.ndarray, rotation: jnp.ndarray,
+              degree: int | None = None) -> jnp.ndarray:
+    """Rotate SH coefficients by a 3x3 rotation.
+
+    Parity target: reference src/misc/sh_rotation.py rotate_sh (e3nn
+    Wigner-D; bypassed in the reference's default path,
+    gaussian_adapter.py:93-94). Implemented here without e3nn by refit:
+    a band-limited function is exactly determined by its values on enough
+    sample directions, so coefficients of the rotated function are
+    pinv(B(dirs)) @ f(R^T dirs) — exact (up to lstsq conditioning) for the
+    real SH basis of the given degree.
+
+    harmonics: (..., d_sh); rotation: (3, 3) applied to the function's
+    frame (f'(x) = f(R^T x)).
+    """
+    d_sh = harmonics.shape[-1]
+    if degree is None:
+        degree = int(round(d_sh**0.5)) - 1
+    # fixed quasi-uniform sample directions (>= 2*d_sh for conditioning)
+    import numpy as np
+
+    m = max(4 * d_sh, 64)
+    i = np.arange(m) + 0.5
+    phi = np.arccos(1 - 2 * i / m)           # polar
+    theta = np.pi * (1 + 5**0.5) * i         # golden-angle azimuth
+    dirs = np.stack(
+        [np.sin(phi) * np.cos(theta), np.sin(phi) * np.sin(theta), np.cos(phi)],
+        axis=-1,
+    ).astype(np.float32)
+    B = sh_basis(jnp.asarray(dirs), degree)          # (M, d_sh)
+    pinv = jnp.linalg.pinv(B)                        # (d_sh, M)
+    dirs_rot = jnp.asarray(dirs) @ rotation          # R^T applied to rows
+    B_rot = sh_basis(dirs_rot, degree)               # (M, d_sh)
+    # coefficients of the rotated function: pinv @ (values at sample dirs)
+    transfer = pinv @ B_rot                          # (d_sh, d_sh) Wigner-D
+    return jnp.einsum("de,...e->...d", transfer, harmonics)

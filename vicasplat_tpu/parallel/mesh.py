@@ -36,3 +36,39 @@ def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree (params/opt state) across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_params_fsdp(mesh: Mesh, tree, axis_name: str = "data",
+                      min_size: int = 2**16):
+    """FSDP-style parameter sharding: each large leaf is sharded along its
+    largest divisible dimension over the data axis; XLA all-gathers weights
+    at use and reduce-scatters gradients. Small leaves stay replicated.
+
+    The reference has no model-state sharding (pure DDP); this is the
+    TPU-native upgrade for fitting larger models / optimizer states.
+    """
+    n = mesh.devices.size
+
+    def put(x):
+        if x.ndim == 0 or x.size < min_size:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        dims = sorted(range(x.ndim), key=lambda d: -x.shape[d])
+        for d in dims:
+            if x.shape[d] % n == 0:
+                spec = [None] * x.ndim
+                spec[d] = axis_name
+                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(put, tree)
+
+
+def initialize_multihost(coordinator_address=None, num_processes=None,
+                         process_id=None):
+    """Multi-host bring-up over DCN (the reference's `num_nodes` Lightning
+    plumbing, src/main.py:106). Same SPMD program, bigger mesh."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

@@ -68,6 +68,13 @@ class CheckpointManager:
 def load_weights(path: str, template=None):
     """Load weights from either a native orbax dir or a torch .ckpt file
     (reference main.py:141-154 dispatch)."""
+    if str(path).startswith("wandb://"):
+        # the reference resolves wandb://run:version by downloading artifacts
+        # (src/misc/wandb_tools.py:42-62); this environment has no wandb/egress
+        raise RuntimeError(
+            "wandb:// checkpoint URIs require the wandb client and network "
+            "access; download the artifact manually and pass its local path"
+        )
     p = pathlib.Path(path)
     if p.is_dir():
         import orbax.checkpoint as ocp

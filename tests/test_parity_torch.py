@@ -176,3 +176,152 @@ class TestCheckpointRoundTrip:
             np.testing.assert_allclose(
                 v, flat2_map[key], atol=1e-6, err_msg=key
             )
+
+
+class TestTorchCheckpointFile:
+    def test_load_torch_checkpoint_file(self, tmp_path):
+        """Round-trip through an actual torch-serialized .ckpt file (the
+        Lightning format the released weights use)."""
+        from vicasplat_tpu.models import (
+            GaussianAdapterConfig,
+            VicaNetConfig,
+            VicaSplatConfig,
+            init_vicasplat,
+        )
+        from vicasplat_tpu.utils.ckpt_convert import (
+            export_torch_state_dict,
+            load_torch_checkpoint,
+        )
+
+        cfg = VicaSplatConfig(
+            backbone=VicaNetConfig(
+                img_size=32, patch_size=16, enc_embed_dim=64, enc_depth=2,
+                enc_num_heads=4, dec_embed_dim=48, dec_depth=4, dec_num_heads=4,
+            ),
+            gaussian_adapter=GaussianAdapterConfig(sh_degree=1),
+        )
+        params = init_vicasplat(jax.random.PRNGKey(3), cfg)
+        sd = {k: torch.from_numpy(np.asarray(v))
+              for k, v in export_torch_state_dict(params).items()}
+        path = tmp_path / "ckpt.ckpt"
+        torch.save({"state_dict": sd, "epoch": 0}, path)
+
+        params2 = load_torch_checkpoint(str(path))
+        flat1 = jax.tree_util.tree_flatten_with_path(params)[0]
+        flat2 = {
+            jax.tree_util.keystr(p): v
+            for p, v in jax.tree_util.tree_flatten_with_path(params2)[0]
+        }
+        for p, v in flat1:
+            np.testing.assert_allclose(
+                v, flat2[jax.tree_util.keystr(p)], atol=1e-6,
+                err_msg=jax.tree_util.keystr(p),
+            )
+
+
+class TestMast3rIngest:
+    def test_mast3r_overlay(self):
+        """MASt3R-style state dict overlays encoder/decoder/center-head
+        weights onto a fresh VicaSplat init (weight_modify semantics)."""
+        from vicasplat_tpu.models import (
+            GaussianAdapterConfig,
+            VicaNetConfig,
+            VicaSplatConfig,
+            init_vicasplat,
+        )
+        from vicasplat_tpu.models.dust3r import Dust3RConfig, init_dust3r
+        from vicasplat_tpu.utils.ckpt_convert import (
+            mast3r_to_vicasplat_params,
+        )
+
+        # teacher with conf head (4 channels), student without (3)
+        d_cfg = Dust3RConfig(
+            img_size=32, patch_size=16, enc_embed_dim=64, enc_depth=2,
+            enc_num_heads=4, dec_embed_dim=48, dec_depth=4, dec_num_heads=4,
+            predict_conf=True,
+        )
+        teacher = init_dust3r(jax.random.PRNGKey(0), d_cfg)
+        # build a MASt3R-like flat state dict from the teacher pytree
+        from vicasplat_tpu.utils import ckpt_convert as cc
+
+        sd = {}
+        def put_lin(prefix, p):
+            sd[prefix + ".weight"] = np.asarray(p["w"]).T
+            if "b" in p:
+                sd[prefix + ".bias"] = np.asarray(p["b"])
+        def put_ln(prefix, p):
+            sd[prefix + ".weight"] = np.asarray(p["scale"])
+            sd[prefix + ".bias"] = np.asarray(p["bias"])
+        def put_conv(prefix, p, t=False):
+            sd[prefix + ".weight"] = np.asarray(p["w"]).transpose(3, 2, 0, 1)
+            if "b" in p:
+                sd[prefix + ".bias"] = np.asarray(p["b"])
+
+        put_conv("patch_embed.proj", teacher["patch_embed"]["proj"])
+        put_ln("enc_norm", teacher["enc_norm"])
+        put_lin("decoder_embed", teacher["decoder_embed"])
+        put_ln("dec_norm", teacher["dec_norm"])
+        for i in range(2):
+            blk = jax.tree.map(lambda x, i=i: np.asarray(x[i]), teacher["enc_blocks"])
+            p = f"enc_blocks.{i}"
+            put_ln(p + ".norm1", blk["norm1"]); put_ln(p + ".norm2", blk["norm2"])
+            put_lin(p + ".attn.qkv", blk["attn"]["qkv"]); put_lin(p + ".attn.proj", blk["attn"]["proj"])
+            put_lin(p + ".mlp.fc1", blk["mlp"]["fc1"]); put_lin(p + ".mlp.fc2", blk["mlp"]["fc2"])
+        for i in range(4):
+            blk = jax.tree.map(lambda x, i=i: np.asarray(x[i]), teacher["dec_blocks"])
+            p = f"dec_blocks.{i}"
+            for nm in ("norm1", "norm2", "norm3", "norm_y"):
+                put_ln(p + "." + nm, blk[nm])
+            put_lin(p + ".attn.qkv", blk["attn"]["qkv"]); put_lin(p + ".attn.proj", blk["attn"]["proj"])
+            for nm in ("projq", "projk", "projv", "proj"):
+                put_lin(p + ".cross_attn." + nm, blk["cross_attn"][nm])
+            put_lin(p + ".mlp.fc1", blk["mlp"]["fc1"]); put_lin(p + ".mlp.fc2", blk["mlp"]["fc2"])
+        # dpt head (teacher head1 has 4 output channels)
+        h = teacher["head1"]
+        put_conv("downstream_head1.dpt.act_postprocess.0.0", h["proj0"])
+        sd["downstream_head1.dpt.act_postprocess.0.1.weight"] = np.asarray(h["up0"]["w"]).transpose(3, 2, 0, 1)
+        sd["downstream_head1.dpt.act_postprocess.0.1.bias"] = np.asarray(h["up0"]["b"])
+        put_conv("downstream_head1.dpt.act_postprocess.1.0", h["proj1"])
+        sd["downstream_head1.dpt.act_postprocess.1.1.weight"] = np.asarray(h["up1"]["w"]).transpose(3, 2, 0, 1)
+        sd["downstream_head1.dpt.act_postprocess.1.1.bias"] = np.asarray(h["up1"]["b"])
+        put_conv("downstream_head1.dpt.act_postprocess.2.0", h["proj2"])
+        put_conv("downstream_head1.dpt.act_postprocess.3.0", h["proj3"])
+        put_conv("downstream_head1.dpt.act_postprocess.3.1", h["down3"])
+        for i in range(4):
+            put_conv(f"downstream_head1.dpt.scratch.layer{i+1}_rn", h[f"scratch{i}"])
+        for i in range(1, 5):
+            r = h[f"refinenet{i}"]
+            rp = f"downstream_head1.dpt.scratch.refinenet{i}"
+            put_conv(rp + ".resConfUnit1.conv1", r["rcu1"]["conv1"])
+            put_conv(rp + ".resConfUnit1.conv2", r["rcu1"]["conv2"])
+            put_conv(rp + ".resConfUnit2.conv1", r["rcu2"]["conv1"])
+            put_conv(rp + ".resConfUnit2.conv2", r["rcu2"]["conv2"])
+            put_conv(rp + ".out_conv", r["out_conv"])
+        put_conv("downstream_head1.dpt.head.0", h["head"]["conv1"])
+        put_conv("downstream_head1.dpt.head.2", h["head"]["conv2"])
+        put_conv("downstream_head1.dpt.head.4", h["head"]["conv3"])
+
+        v_cfg = VicaSplatConfig(
+            backbone=VicaNetConfig(
+                img_size=32, patch_size=16, enc_embed_dim=64, enc_depth=2,
+                enc_num_heads=4, dec_embed_dim=48, dec_depth=4, dec_num_heads=4,
+            ),
+            gaussian_adapter=GaussianAdapterConfig(sh_degree=1),
+            predict_conf=False,
+        )
+        student = init_vicasplat(jax.random.PRNGKey(1), v_cfg)
+        merged = mast3r_to_vicasplat_params(sd, student)
+        # encoder block weights transferred
+        np.testing.assert_allclose(
+            merged["backbone"]["enc_blocks"]["attn"]["qkv"]["w"][0],
+            np.asarray(teacher["enc_blocks"]["attn"]["qkv"]["w"][0]),
+            atol=1e-6,
+        )
+        # conf channel sliced off the center head (4 -> 3)
+        assert merged["center_head"]["head"]["conv3"]["b"].shape == (3,)
+        # vica-only params keep their fresh init
+        np.testing.assert_allclose(
+            merged["backbone"]["camera_extrinsic_token"],
+            student["backbone"]["camera_extrinsic_token"],
+            atol=1e-6,
+        )

@@ -75,7 +75,21 @@ def train(cfg):
         keep=cfg.checkpointing.save_top_k,
     )
 
-    mesh = make_mesh()
+    # data-parallel mesh: use the largest device count that divides the
+    # global batch (a 2-example batch can't shard over 8 devices)
+    batch_size = max(
+        (sec.get("batch_size", 1) if isinstance(sec, dict) else 1)
+        for sec in [cfg.data_loader.get("train", {})] +
+        [v for v in cfg.data_loader.get("train", {}).values()
+         if isinstance(v, dict)]
+    )
+    n_dev = len(jax.devices())
+    while batch_size % n_dev != 0:
+        n_dev -= 1
+    if n_dev < len(jax.devices()):
+        print(f"note: batch {batch_size} shards over {n_dev}/"
+              f"{len(jax.devices())} devices")
+    mesh = make_mesh(n_dev)
     opt_state = optimizer.init(params)
     lpips_fn = _maybe_lpips(cfg)
     teacher_fn = _maybe_distiller(cfg)

@@ -80,11 +80,15 @@ def load_weights(path: str, template=None):
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        payload = (
-            ckptr.restore(p.absolute(), template)
-            if template is not None
-            else ckptr.restore(p.absolute())
-        )
+        if template is not None:
+            # saved payloads wrap params (CheckpointManager.save); tolerate
+            # both {"params": ...} and bare-params checkpoints
+            try:
+                payload = ckptr.restore(p.absolute(), {"params": template})
+            except BaseException:
+                payload = ckptr.restore(p.absolute(), template)
+        else:
+            payload = ckptr.restore(p.absolute())
         return payload["params"] if isinstance(payload, dict) and "params" in payload else payload
     # torch checkpoint
     from .ckpt_convert import load_torch_checkpoint

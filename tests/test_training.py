@@ -93,6 +93,7 @@ class TestTrainStep:
         l1 = float(loss_fn(stepped))
         assert np.isfinite([l0, l1]).all()
         assert l1 < l0, (l0, l1)
+        assert gnorm > 0  # gradient norm sanity (covers grad_norm logging)
 
     def test_multi_step_runs_finite(self):
         cfg = dataclasses.replace(
@@ -107,16 +108,6 @@ class TestTrainStep:
         for i in range(4):
             params, opt_state, logs = step(params, opt_state, batch, i)
             assert np.isfinite(float(logs["loss"]))
-
-    def test_grad_norm_logged_and_clipped(self):
-        cfg = tiny_train_cfg()
-        params = init_vicasplat(jax.random.PRNGKey(0), cfg.model)
-        optimizer = make_optimizer(params, cfg.optimizer)
-        opt_state = optimizer.init(params)
-        batch = tiny_batch(jax.random.PRNGKey(1))
-        step = jax.jit(make_train_step(cfg, optimizer))
-        _, _, logs = step(params, opt_state, batch, 0)
-        assert float(logs["grad_norm"]) > 0
 
 
 class TestParamGroups:

@@ -95,11 +95,6 @@ class PoseEvaluator:
         deltas = {"rot": jnp.zeros((b, v, 3)), "trans": jnp.zeros((b, v, 3))}
         opt = optax.adam(self.cfg.rot_opt_lr)
         state = opt.init(deltas)
-        step = jax.jit(
-            lambda d, s: (lambda g: optax.apply_updates(
-                d, opt.update(g, s)[0]
-            ))(jax.grad(loss_fn)(d))
-        )
         for _ in range(self.cfg.refine_steps):
             grads = jax.grad(loss_fn)(deltas)
             updates, state = opt.update(grads, state)

@@ -197,6 +197,13 @@ class ViewSamplerSequential(ViewSampler):
         return context, np.asarray(target, np.int64), 0.5
 
 
+def add_third_context_index(context: np.ndarray) -> np.ndarray:
+    """Serve a 2-view index as 3 views by inserting the midpoint frame
+    (reference view_sampler/three_view_hack.py)."""
+    left, right = int(context[0]), int(context[-1])
+    return np.asarray([left, (left + right) // 2, right], np.int64)
+
+
 class ViewSamplerEvaluation(ViewSampler):
     """Frozen JSON index (reference view_sampler_evaluation.py:26-81)."""
 
@@ -212,8 +219,11 @@ class ViewSamplerEvaluation(ViewSampler):
         overlap = entry.get("overlap", 0.5)
         if isinstance(overlap, str):
             overlap = 0.75 if overlap == "large" else 0.25
+        context = np.asarray(entry["context"], np.int64)
+        if self.cfg.num_context_views == 3 and len(context) == 2:
+            context = add_third_context_index(context)
         return (
-            np.asarray(entry["context"], np.int64),
+            context,
             np.asarray(entry["target"], np.int64),
             float(overlap) if overlap is not None else 0.5,
         )

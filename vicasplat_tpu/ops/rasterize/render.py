@@ -25,7 +25,7 @@ class RasterizeConfig:
     tile_px: int = 16
     dup_hw: tuple = (2, 2)       # max tiles a splat may cover (centered window)
     max_per_tile: int = 512      # front-most splats kept per tile
-    chunk: int = 128             # compositing chunk (matmul G dim)
+    chunk: int = 256             # compositing chunk (matmul G dim)
     tile_group: int = 64         # tiles composited together per map step
     # "pallas": fused per-tile kernel with early termination (forward; the
     # backward rematerializes through the XLA path). "xla": pure-XLA matmul

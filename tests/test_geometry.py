@@ -274,3 +274,37 @@ class TestRope:
         cos, sin = rope.make_rope_nd_tables([16, 24, 24], [2, 4, 4], theta=100.0)
         assert cos.shape == (32, 64)
         assert sin.shape == (32, 64)
+
+
+class TestCameraEmb:
+    def test_intrinsic_embedding_shape(self):
+        from vicasplat_tpu.geometry.camera_emb import get_intrinsic_embedding
+
+        K = jnp.array([[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]])
+        emb = get_intrinsic_embedding(K[None], (8, 8), degree=4)
+        assert emb.shape == (1, 8, 8, 25)
+        assert jnp.isfinite(emb).all()
+
+
+class TestPnP:
+    def test_recovers_known_pose(self):
+        pytest.importorskip("cv2")
+        from vicasplat_tpu.geometry.se3 import get_pnp_pose, so3_exp
+        from vicasplat_tpu.geometry.projection import get_world_rays
+
+        h = w = 32
+        K = jnp.array([[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]])
+        c2w = jnp.eye(4).at[:3, :3].set(so3_exp(jnp.array([0.1, -0.2, 0.05])))
+        c2w = c2w.at[:3, 3].set(jnp.array([0.3, -0.1, 0.2]))
+        # integer-pixel convention matching cv2/mgrid (the reference's
+        # get_pnp_pose uses np.mgrid integer pixels against pixel-scaled K)
+        jj, ii = np.meshgrid(np.arange(w), np.arange(h), indexing="xy")
+        coords = jnp.asarray(
+            np.stack([jj / w, ii / h], axis=-1), jnp.float32
+        )
+        o, d = get_world_rays(coords.reshape(-1, 2), c2w, K)
+        key = jax.random.PRNGKey(0)
+        depths = jax.random.uniform(key, (h * w,), minval=2.0, maxval=5.0)
+        pts = (o + d * depths[:, None]).reshape(h, w, 3)
+        pose = get_pnp_pose(pts, np.ones((h, w)), K, h, w)
+        np.testing.assert_allclose(pose, np.asarray(c2w), atol=1e-3)

@@ -105,3 +105,12 @@ def get_fov(intrinsics: jnp.ndarray) -> jnp.ndarray:
     top = jnp.einsum("...ij,...j->...i", inv, jnp.stack([0.5 * ones, zeros, ones], -1))
     bottom = jnp.einsum("...ij,...j->...i", inv, jnp.stack([0.5 * ones, ones, ones], -1))
     return jnp.stack([_angle(left, right), _angle(top, bottom)], axis=-1)
+
+
+def get_local_rays(coordinates, intrinsics):
+    """Normalized pixel coords -> unit camera-space ray directions
+    (reference: src/geometry/projection.py:117-128)."""
+    directions = unproject(
+        coordinates, jnp.ones_like(coordinates[..., 0]), intrinsics
+    )
+    return directions / jnp.linalg.norm(directions, axis=-1, keepdims=True)

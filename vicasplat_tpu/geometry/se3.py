@@ -142,3 +142,35 @@ def pose_error_angles(pred: jnp.ndarray, gt: jnp.ndarray):
     )
     trans_deg = jnp.degrees(jnp.arccos(cos_t))
     return rot_deg, trans_deg
+
+
+def get_pnp_pose(pts3d, opacity, intrinsics, h: int, w: int,
+                 opacity_threshold: float = 0.3):
+    """PnP-RANSAC camera pose from a predicted point map (host-side, OpenCV).
+
+    Parity target: reference src/misc/cam_utils.py:163-183. pts3d (H, W, 3)
+    world points per pixel, opacity (H, W) mask source, normalized K.
+    Returns a (4, 4) c2w matrix (numpy).
+    """
+    import cv2
+    import numpy as np
+
+    pts3d = np.asarray(pts3d, np.float32)
+    opacity = np.asarray(opacity, np.float32)
+    K = np.asarray(intrinsics, np.float64).copy()
+    K[0, :] *= w
+    K[1, :] *= h
+    pixels = np.mgrid[:w, :h].T.astype(np.float32)
+    mask = opacity > opacity_threshold
+    success, rvec, tvec, _ = cv2.solvePnPRansac(
+        pts3d[mask], pixels[mask], K, None,
+        iterationsCount=100, reprojectionError=5,
+        flags=cv2.SOLVEPNP_SQPNP,
+    )
+    if not success:
+        raise RuntimeError("PnP-RANSAC failed")
+    R = cv2.Rodrigues(rvec)[0]
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[:3, :3] = R
+    w2c[:3, 3] = tvec.reshape(3)
+    return np.linalg.inv(w2c)

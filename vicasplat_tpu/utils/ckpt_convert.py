@@ -185,7 +185,13 @@ def convert_state_dict(sd: Dict[str, np.ndarray]) -> dict:
 
 
 def load_torch_checkpoint(path: str) -> dict:
-    """torch.load a Lightning/raw checkpoint file -> params pytree."""
+    """torch.load a checkpoint file -> params pytree.
+
+    Dispatches on format: Lightning {'state_dict'} / raw VicaSplat keys ->
+    convert_state_dict; MASt3R/DUSt3R-style {'model'} with two-view decoder
+    keys -> convert_dust3r_state_dict (the teacher), matching the reference's
+    three-format ingestion (src/main.py:141-154).
+    """
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
@@ -197,6 +203,11 @@ def load_torch_checkpoint(path: str) -> dict:
         sd = ckpt
     sd = {k: v.detach().cpu().float().numpy() for k, v in sd.items()
           if hasattr(v, "detach")}
+    is_dust3r = any(
+        k.startswith(("dec_blocks.", "downstream_head2.")) for k in sd
+    ) and not any(k.startswith(("backbone.", "encoder.")) for k in sd)
+    if is_dust3r:
+        return convert_dust3r_state_dict(sd)
     return convert_state_dict(sd)
 
 

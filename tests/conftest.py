@@ -1,13 +1,15 @@
 """Test configuration: force an 8-virtual-device CPU backend.
 
 Tests run on CPU with 8 fake devices so the pjit/shard_map data-parallel
-paths are exercised without real multi-chip hardware. Must run before jax
-is imported anywhere.
+paths are exercised without real multi-chip hardware.
+
+The ambient environment points JAX at the TPU tunnel (JAX_PLATFORMS=axon)
+and its sitecustomize *initializes* that backend at interpreter start, so
+setting the env var here is not enough — the config override + backend
+clear below re-selects CPU even when the axon backend is already live.
 """
 import os
 
-# Force CPU: the ambient environment points JAX at the TPU tunnel
-# (JAX_PLATFORMS=axon); tests must be hermetic, fast, and multi-"device".
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -17,5 +19,17 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_default_matmul_precision", "highest")
+try:  # drop any backend the sitecustomize already initialized
+    import jax.extend.backend
+
+    jax.extend.backend.clear_backends()
+except Exception:
+    pass
+
+assert jax.default_backend() == "cpu", (
+    f"tests require the CPU backend, got {jax.default_backend()}"
+)
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"

@@ -147,3 +147,35 @@ class TestAdapter:
         np.testing.assert_allclose(
             jnp.linalg.norm(g.rotations, axis=-1), 1.0, atol=1e-5
         )
+
+
+class TestGoldenForward:
+    def test_matches_committed_golden(self):
+        """Regression pin: fixed-seed tiny-config forward must reproduce the
+        committed golden statistics (guards refactors across rounds; CPU,
+        float32, highest matmul precision)."""
+        import pathlib
+
+        golden_path = pathlib.Path(__file__).parent / "golden_tiny_forward.npz"
+        golden = np.load(golden_path)
+        cfg = tiny_cfg()
+        params = init_vicasplat(jax.random.PRNGKey(0), cfg)
+        batch = tiny_batch(jax.random.PRNGKey(1))
+        out = vicasplat_forward(params, cfg, batch, dtype=jnp.float32)
+        g = out["gaussians"]
+        np.testing.assert_allclose(
+            out["pred_extrins"], golden["pred_extrins"], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            g.means.mean(axis=(0, 2, 3)), golden["means_mean"], atol=1e-4
+        )
+        np.testing.assert_allclose(g.means.std(), golden["means_std"], rtol=1e-4)
+        np.testing.assert_allclose(
+            g.opacities.mean(), golden["opac_mean"], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            g.harmonics.mean(axis=(0, 1, 2, 3)), golden["sh_mean"], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            g.scales.mean(), golden["scales_mean"], rtol=1e-4
+        )

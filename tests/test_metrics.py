@@ -113,3 +113,52 @@ class TestImageMetrics:
         assert float(compute_ssim(img, img)) > 0.999
         noisy = jnp.clip(img + 0.3 * jax.random.normal(jax.random.PRNGKey(1), img.shape), 0, 1)
         assert float(compute_ssim(img, noisy)) < 0.9
+
+
+class TestLpipsGraph:
+    def _synthetic_params(self, key):
+        """Random VGG16-shaped LPIPS params via the converter (no real
+        weights exist in this environment; this pins the graph, shapes,
+        and the identity property)."""
+        from vicasplat_tpu.loss.lpips import _VGG_STAGES, convert_lpips_torch_state
+
+        rng = np.random.default_rng(0)
+        sd = {}
+        c_in = 3
+        for si, (c_out, n_convs) in enumerate(_VGG_STAGES):
+            idx = 0
+            for ci in range(n_convs):
+                sd[f"net.slice{si + 1}.{idx}.weight"] = rng.normal(
+                    size=(c_out, c_in, 3, 3)).astype(np.float32) * 0.05
+                sd[f"net.slice{si + 1}.{idx}.bias"] = np.zeros(c_out, np.float32)
+                idx += 2  # conv, relu
+                c_in = c_out
+            sd[f"lin{si}.model.1.weight"] = np.abs(
+                rng.normal(size=(1, c_out, 1, 1)).astype(np.float32))
+        return convert_lpips_torch_state(sd)
+
+    def test_identity_and_sensitivity(self):
+        import jax
+
+        from vicasplat_tpu.loss.lpips import lpips_distance
+
+        params = self._synthetic_params(0)
+        img = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3))
+        d_same = float(lpips_distance(params, img, img))
+        np.testing.assert_allclose(d_same, 0.0, atol=1e-6)
+        noisy = jnp.clip(
+            img + 0.2 * jax.random.normal(jax.random.PRNGKey(1), img.shape), 0, 1
+        )
+        d_diff = float(lpips_distance(params, img, noisy))
+        assert d_diff > 1e-4
+
+    def test_grad_flows(self):
+        import jax
+
+        from vicasplat_tpu.loss.lpips import lpips_distance
+
+        params = self._synthetic_params(0)
+        target = jax.random.uniform(jax.random.PRNGKey(0), (1, 16, 16, 3))
+        pred = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 3))
+        g = jax.grad(lambda p: lpips_distance(params, p, target))(pred)
+        assert jnp.isfinite(g).all() and float(jnp.abs(g).max()) > 0

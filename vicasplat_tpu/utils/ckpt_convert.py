@@ -297,6 +297,11 @@ def export_torch_state_dict(params: dict) -> Dict[str, np.ndarray]:
         put_conv(prefix + ".act_postprocess.3.1", dpt["down3"])
         for i in range(4):
             put_conv(prefix + f".scratch.layer{i + 1}_rn", dpt[f"scratch{i}"])
+            # the reference registers the same conv twice (_make_scratch puts
+            # layer{i}_rn modules in a ModuleList `layer_rn` as well,
+            # reference dpt_block.py:33,70-71), so released checkpoints carry
+            # both key spellings; emit the alias for exact format fidelity
+            put_conv(prefix + f".scratch.layer_rn.{i}", dpt[f"scratch{i}"])
         for i in range(1, 5):
             r = dpt[f"refinenet{i}"]
             rp = prefix + f".scratch.refinenet{i}"

@@ -40,7 +40,12 @@ def build_all(cfg):
         camera=cfg.loss.camera,
         dtype="bfloat16" if cfg.trainer.precision == "bfloat16" else "float32",
         remat=cfg.train.gradient_checkpointing,
+        distill_weight=cfg.train.distill_weight,
+        distill_only_steps=cfg.train.distill_only_steps,
+        distill_max_steps=cfg.train.distill_max_steps,
     )
+    if cfg.loss.lpips is not None:
+        train_cfg = dataclasses.replace(train_cfg, lpips=cfg.loss.lpips)
     params = init_vicasplat(jax.random.PRNGKey(cfg.seed), cfg.encoder)
     if cfg.checkpointing.load:
         from .utils.checkpointing import load_weights
@@ -55,6 +60,7 @@ def train(cfg):
     from .data import DataModule
     from .parallel import make_mesh, replicate, shard_batch
     from .training import make_train_step
+    from .training.step import pick_phase
     from .utils.checkpointing import CheckpointManager
     from .utils.step_tracker import StepTracker
 
@@ -91,17 +97,43 @@ def train(cfg):
               f"{len(jax.devices())} devices")
     mesh = make_mesh(n_dev)
     opt_state = optimizer.init(params)
+
+    start_step = 0
+    if cfg.checkpointing.resume:
+        from .utils.checkpointing import restore_train_state
+
+        latest = ckpt.latest()
+        if latest is not None:
+            params, opt_state, start_step = restore_train_state(
+                latest, params, opt_state
+            )
+            print(f"resumed full train state from {latest} at step {start_step}")
     lpips_fn = _maybe_lpips(cfg)
     teacher_fn = _maybe_distiller(cfg)
     step_fn = jax.jit(
         make_train_step(train_cfg, optimizer, lpips_fn=lpips_fn,
                         teacher_fn=teacher_fn),
         donate_argnums=(0, 1),
+        static_argnames=("phase",),
     )
     writer = _make_tb_writer(cfg)
 
+    def save_ckpt(step):
+        import numpy as np
+
+        if cfg.checkpointing.save_weights_only:
+            ckpt.save(step, jax.device_get(params))
+        else:
+            ckpt.save(
+                step,
+                jax.device_get(params),
+                opt_state=jax.device_get(opt_state),
+                extra={"step": np.asarray(step, np.int64)},
+            )
+
     max_steps = cfg.trainer.max_steps if cfg.trainer.max_steps > 0 else 10**9
-    global_step = 0
+    global_step = start_step
+    step_tracker.set_step(global_step)
     t_last = time.perf_counter()
     with mesh:
         params = replicate(mesh, params)
@@ -110,8 +142,11 @@ def train(cfg):
             for batch in dm.train_dataloader():
                 batch = {k: v for k, v in batch.items() if k != "scene"}
                 batch = shard_batch(mesh, batch)
+                phase = pick_phase(
+                    train_cfg, global_step, teacher_fn is not None
+                )
                 params, opt_state, logs = step_fn(
-                    params, opt_state, batch, global_step
+                    params, opt_state, batch, global_step, phase=phase
                 )
                 global_step += 1
                 step_tracker.set_step(global_step)
@@ -129,7 +164,7 @@ def train(cfg):
                         for k, v in logs.items():
                             writer.add_scalar(f"train/{k}", float(v), global_step)
                 if ckpt.should_save(global_step):
-                    ckpt.save(global_step, jax.device_get(params))
+                    save_ckpt(global_step)
                 if (
                     cfg.trainer.val_check_interval > 0
                     and global_step % cfg.trainer.val_check_interval == 0
@@ -140,7 +175,7 @@ def train(cfg):
                         pass
                 if global_step >= max_steps:
                     break
-    ckpt.save(global_step, jax.device_get(params))
+    save_ckpt(global_step)
     print("training done")
 
 

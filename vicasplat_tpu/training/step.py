@@ -18,6 +18,7 @@ import optax
 from ..decoder.splatting import DecoderSplattingConfig, decoder_forward
 from ..loss.losses import (
     LossCameraConfig,
+    LossLpipsConfig,
     LossMseConfig,
     camera_loss,
     mse_loss,
@@ -33,9 +34,16 @@ class TrainConfig:
     optimizer: OptimizerConfig = OptimizerConfig()
     mse: LossMseConfig = LossMseConfig()
     camera: LossCameraConfig = LossCameraConfig()
+    lpips: LossLpipsConfig = LossLpipsConfig()
     dtype: str = "bfloat16"
     remat: bool = True
     distill_weight: float = 1.0
+    # staged distillation schedule (reference model_wrapper.py:185,249 +
+    # config/experiment/distill.yaml:34-40): steps < distill_only_steps run
+    # WITHOUT rendering (camera loss + distillation only); the teacher stops
+    # after distill_max_steps.
+    distill_only_steps: int = 0
+    distill_max_steps: int = 0
 
 
 def distillation_loss(out, teacher_fn, batch, key):
@@ -50,8 +58,10 @@ def distillation_loss(out, teacher_fn, batch, key):
 
     ctx = batch["context"]
     B, T = ctx["image"].shape[:2]
-    idx = jax.random.permutation(key, T)[:2]
-    idx = jnp.sort(idx)
+    # the reference anchors are an ADJACENT frame pair (segment j, j+1) with
+    # j uniform (model_wrapper.py:155-181 at temporal_compression=1)
+    j = jax.random.randint(key, (), 0, max(T - 1, 1))
+    idx = jnp.stack([j, j + 1])
     anchor = jnp.take(ctx["image"], idx, axis=1)  # (B, 2, H, W, 3) in [0,1]
 
     teacher = teacher_fn(anchor[:, 0] * 2 - 1, anchor[:, 1] * 2 - 1)
@@ -84,10 +94,18 @@ def distillation_loss(out, teacher_fn, batch, key):
 
 
 def compute_loss(params, cfg: TrainConfig, batch, global_step, lpips_fn=None,
-                 lpips_weight: float = 0.05, teacher_fn=None,
-                 distill_key=None):
+                 teacher_fn=None, distill_key=None, phase: str = "full"):
     """batch: {"context": {image (B,T,H,W,3) in [0,1], intrinsics, extrinsics,
-    near, far}, "target": {...}}. Images are shimmed to [-1,1] here."""
+    near, far}, "target": {...}}. Images are shimmed to [-1,1] here.
+
+    `phase` is a STATIC staging switch so each stage compiles only the work
+    it needs (reference model_wrapper.py:185-246):
+      - "distill_only": no rendering; camera loss + distillation only
+        (steps < distill_only_steps of the distill experiment);
+      - "distill": full objective + the frozen-teacher distillation term
+        (steps <= distill_max_steps);
+      - "full": full objective, teacher off.
+    """
     ctx, tgt = batch["context"], batch["target"]
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
@@ -95,43 +113,66 @@ def compute_loss(params, cfg: TrainConfig, batch, global_step, lpips_fn=None,
     ctx_model["image"] = ctx["image"] * 2.0 - 1.0  # normalize shim
 
     out = vicasplat_forward(
-        params, cfg.model, ctx_model, global_step, dtype=dtype, remat=cfg.remat
-    )
-    h, w = tgt["image"].shape[-3:-1]
-    rendered = decoder_forward(
-        cfg.decoder,
-        out["gaussians"],
-        tgt["extrinsics"],
-        tgt["intrinsics"],
-        tgt["near"],
-        tgt["far"],
-        (h, w),
+        params, cfg.model, ctx_model, global_step, dtype=dtype,
+        remat=cfg.remat, distill=phase == "distill_only",
     )
     losses = {
-        "mse": mse_loss(rendered.color, tgt["image"], cfg.mse),
         "camera": camera_loss(
             out["pred_extrins"], ctx["extrinsics"], out["pred_intrins"],
             ctx.get("intrinsics"), cfg.camera,
         ),
     }
-    if lpips_fn is not None:
-        losses["lpips"] = lpips_weight * lpips_fn(rendered.color, tgt["image"])
-    if teacher_fn is not None:
+    if phase == "distill_only":
+        mse_val = jnp.float32(1.0)  # psnr log placeholder (no render)
+    else:
+        h, w = tgt["image"].shape[-3:-1]
+        rendered = decoder_forward(
+            cfg.decoder,
+            out["gaussians"],
+            tgt["extrinsics"],
+            tgt["intrinsics"],
+            tgt["near"],
+            tgt["far"],
+            (h, w),
+        )
+        losses["mse"] = mse_loss(rendered.color, tgt["image"], cfg.mse)
+        if lpips_fn is not None:
+            # reference loss_lpips.py:41-46 returns 0 before apply_after_step
+            gate = jnp.where(
+                jnp.asarray(global_step) >= cfg.lpips.apply_after_step, 1.0, 0.0
+            )
+            losses["lpips"] = (
+                cfg.lpips.weight * gate * lpips_fn(rendered.color, tgt["image"])
+            )
+        mse_val = ((rendered.color - tgt["image"]) ** 2).mean()
+    if phase in ("distill_only", "distill"):
+        assert teacher_fn is not None, f"phase {phase} requires a teacher"
         d_loss, d_logs = distillation_loss(out, teacher_fn, batch, distill_key)
         losses["distillation"] = cfg.distill_weight * d_loss
     loss = sum(losses.values())
-    mse_val = ((rendered.color - tgt["image"]) ** 2).mean()
     logs = dict(losses, psnr=-10.0 * jnp.log10(jnp.clip(mse_val, 1e-10)))
     return loss, logs
 
 
+def pick_phase(cfg: TrainConfig, global_step: int, has_teacher: bool) -> str:
+    """Host-side stage selection per step (static jit arg; recompiles only at
+    stage boundaries). Matches reference model_wrapper.py:185 (<) and :249
+    (<=)."""
+    if has_teacher and global_step < cfg.distill_only_steps:
+        return "distill_only"
+    if has_teacher and global_step <= cfg.distill_max_steps:
+        return "distill"
+    return "full"
+
+
 def make_train_step(cfg: TrainConfig, optimizer: optax.GradientTransformation,
                     lpips_fn=None, teacher_fn=None):
-    def train_step(params, opt_state, batch, global_step):
+    def train_step(params, opt_state, batch, global_step, phase="full"):
         key = jax.random.fold_in(jax.random.PRNGKey(0), global_step)
         (loss, logs), grads = jax.value_and_grad(
             compute_loss, has_aux=True
-        )(params, cfg, batch, global_step, lpips_fn, 0.05, teacher_fn, key)
+        )(params, cfg, batch, global_step, lpips_fn, teacher_fn, key,
+          phase)
         # NaN-grad guard (reference src/main.py:42-47 zeroes NaN grads)
         grads = jax.tree.map(
             lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)), grads

@@ -65,6 +65,34 @@ class CheckpointManager:
         return ckptr.restore(path.absolute())
 
 
+def restore_train_state(path, params_template, opt_state_template):
+    """Full-state restore for training resume: returns
+    (params, opt_state, step). Falls back to weights-only checkpoints
+    (opt_state/step keep their passed-in values, step 0).
+
+    Parity: the reference resumes optimizer moments + global step through
+    Lightning's trainer.fit(ckpt_path=...) (reference main.py:175) when
+    checkpoints were written with save_weights_only: false
+    (config/main.yaml:40-44).
+    """
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    path = pathlib.Path(path)
+    ckptr = ocp.StandardCheckpointer()
+    template = {
+        "params": params_template,
+        "opt_state": opt_state_template,
+        "extra": {"step": np.zeros((), np.int64)},
+    }
+    try:
+        payload = ckptr.restore(path.absolute(), template)
+        return payload["params"], payload["opt_state"], int(payload["extra"]["step"])
+    except BaseException:
+        params = load_weights(str(path), template=params_template)
+        return params, opt_state_template, 0
+
+
 def load_weights(path: str, template=None):
     """Load weights from either a native orbax dir or a torch .ckpt file
     (reference main.py:141-154 dispatch)."""

@@ -39,12 +39,18 @@ class CheckpointingConfig:
     save_top_k: int = 5
     save_weights_only: bool = True
     output_dir: str = "checkpoints"
+    # auto-restore {params, opt_state, step} from the newest checkpoint in
+    # output_dir (the reference resumes full Lightning state via
+    # trainer.fit(ckpt_path=...), reference main.py:175, config/main.yaml:40-44)
+    resume: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
 class TrainSectionConfig:
     distiller: str = ""
     distill_max_steps: int = 0
+    distill_only_steps: int = 0
+    distill_weight: float = 1.0
     gradient_checkpointing: bool = True
     lr_cosine_annealing: bool = False
     new_param_keywords: tuple = ("gaussian_param_head", "intrinsic_encoder")

@@ -5,15 +5,16 @@ K binned splats for every tile; saturated tiles (transmittance < 1e-4 after a
 few dozen splats) waste most of that work, and each chunk's (tiles, P, G)
 intermediates round-trip HBM. This kernel keeps everything in VMEM:
 
-  - grid = (num_tiles / TB, K / G) with the chunk axis innermost; each step
-    owns TB tiles x one G-splat payload chunk as a pipelined VMEM block, and
-    (log-transmittance, rgbd) VMEM scratch carries compositing state across
-    chunk steps — no HBM traffic for intermediates at all;
-  - chunks are skipped via @pl.when as soon as every pixel in the TB-tile
-    block is saturated (the TPU-shaped version of the CUDA rasterizer's
-    per-pixel early exit; adjacent tiles correlate spatially, so block-level
-    exit loses little — the skipped chunk's payload DMA still happens but is
-    a bandwidth rounding error);
+  - grid = (num_tiles,); each step owns one tile's FULL (K, 16) payload as a
+    pipelined VMEM block (32 KB at K=512), so the next tile's DMA overlaps
+    this tile's compute, and all compositing state lives in loop carries —
+    no HBM traffic for intermediates at all;
+  - a while_loop walks K in G-splat chunks and stops as soon as every pixel
+    in the tile is saturated — true per-tile early exit (the TPU-shaped
+    version of the CUDA rasterizer's per-pixel exit);
+  - all math is 2D (P, G): Mosaic stack-accounts batched (TB, P, G) temps
+    at ~100x their size (scoped-vmem OOM), so per-tile 2D is the shape that
+    both fits and vectorizes;
   - the transmittance prefix inside a chunk is the strictly-upper-triangular
     matmul trick from the XLA path (MXU work), evaluated per tile as a
     batched (P, G) x (G, G) dot.
@@ -46,116 +47,95 @@ from .tiles import TileBins, composite_tiles as composite_tiles_xla
 _LOG_T_EPS = math.log(1e-4)  # stop once max transmittance under this
 
 
-def _kernel(payload_ref, out_ref, logt_ref, rgbd_ref, *, tile_px: int,
-            chunk: int, n_chunks: int, tiles_x: int, tile_block: int):
-    """Grid = (tile_blocks, n_chunks), chunk axis innermost so the
-    (logt, rgbd) VMEM scratch carries per-tile compositing state across
-    chunk steps while the next chunk's payload block DMA overlaps compute.
-    payload_ref: (TB, G, 16) VMEM block; out_ref: (TB, P, 8)."""
+def _kernel(payload_ref, out_ref, *, tile_px: int, chunk: int, n_chunks: int,
+            tiles_x: int):
+    """Grid = (num_tiles,). payload_ref: (1, K, 16) — the tile's FULL binned
+    payload as one pipelined VMEM block (32 KB at K=512), so the next tile's
+    DMA overlaps this tile's compute. A while_loop walks K in G-splat chunks
+    with 2D (P, G) math (Mosaic stack-accounts 3D multi-tile temps at ~100x,
+    so per-tile 2D is the shape that fits) and stops once every pixel is
+    saturated — per-tile early exit."""
     P = tile_px * tile_px
     G = chunk
-    TB = tile_block
 
-    j = pl.program_id(1)
-    # program_id must be read at kernel top level: calling it inside a
-    # pl.when closure captures it as a closed-call const, which the
-    # interpret-mode lowering rejects
-    base_tile = pl.program_id(0) * TB
+    tile_id = pl.program_id(0)
+    ty = tile_id // tiles_x
+    tx = tile_id % tiles_x
 
-    @pl.when(j == 0)
-    def _init():
-        logt_ref[...] = jnp.zeros((TB, P, 1), jnp.float32)
-        rgbd_ref[...] = jnp.zeros((TB, P, 4), jnp.float32)
+    # pixel centers as (P, 1) columns
+    lin = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    oy = (lin // tile_px).astype(jnp.float32)
+    ox = (lin % tile_px).astype(jnp.float32)
+    px = (tx * tile_px).astype(jnp.float32) + ox + 0.5
+    py = (ty * tile_px).astype(jnp.float32) + oy + 0.5
 
-    # block-level early exit: skip whole chunks once every pixel of every
-    # tile in the block is saturated (adjacent tiles correlate spatially)
-    alive = jnp.max(logt_ref[...]) > _LOG_T_EPS
+    # strictly-upper-triangular ones via iota (a materialized constant would
+    # be captured as a pallas closure const, unsupported in interpret mode)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    tri = (gi < gj).astype(jnp.float32)
 
-    @pl.when(alive)
-    def _composite_chunk():
-        # per-tile pixel centers: (TB, P, 1) columns
-        lin = jax.lax.broadcasted_iota(jnp.int32, (TB, P, 1), 1)
-        tloc = jax.lax.broadcasted_iota(jnp.int32, (TB, P, 1), 0)
-        tile_id = base_tile + tloc
-        ty = tile_id // tiles_x
-        tx = tile_id % tiles_x
-        oy = (lin // tile_px).astype(jnp.float32)
-        ox = (lin % tile_px).astype(jnp.float32)
-        px = (tx * tile_px).astype(jnp.float32) + ox + 0.5
-        py = (ty * tile_px).astype(jnp.float32) + oy + 0.5
+    def cond(carry):
+        j, log_t, _ = carry
+        return jnp.logical_and(j < n_chunks, jnp.max(log_t) > _LOG_T_EPS)
 
-        pc = payload_ref[...]  # (TB, G, 16)
-        mx = pc[:, :, 0][:, None, :]
-        my = pc[:, :, 1][:, None, :]
-        ca = pc[:, :, 2][:, None, :]
-        cb = pc[:, :, 3][:, None, :]
-        cc = pc[:, :, 4][:, None, :]
-        alp = pc[:, :, 5][:, None, :]
+    def body(carry):
+        j, log_t, rgbd = carry
+        pc = payload_ref[0, pl.ds(j * G, G), :]  # (G, 16)
+        mx = pc[:, 0][None, :]
+        my = pc[:, 1][None, :]
+        ca = pc[:, 2][None, :]
+        cb = pc[:, 3][None, :]
+        cc = pc[:, 4][None, :]
+        alp = pc[:, 5][None, :]
 
-        dx = px - mx  # (TB, P, G)
+        dx = px - mx  # (P, G)
         dy = py - my
         power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
         a = jnp.minimum(0.99, alp * jnp.exp(jnp.minimum(power, 0.0)))
         a = jnp.where((power > 0.0) | (a < 1.0 / 255.0), 0.0, a)
 
-        logom = jnp.log1p(-a)  # (TB, P, G)
-        # strictly-upper-triangular ones via iota (a materialized constant
-        # would be captured as a pallas closure const, unsupported)
-        gi = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
-        gj = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
-        tri = (gi < gj).astype(jnp.float32)
-        prefix = jax.lax.dot_general(
-            logom, tri, (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        w = jnp.exp(logt_ref[...] + prefix) * a
+        logom = jnp.log1p(-a)  # (P, G)
+        prefix = jnp.dot(logom, tri, preferred_element_type=jnp.float32)
+        w = jnp.exp(log_t + prefix) * a
 
-        feats = pc[:, :, 6:10]  # (TB, G, 4)
-        acc = jax.lax.dot_general(
-            w, feats, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        rgbd_ref[...] = rgbd_ref[...] + acc
-        logt_ref[...] = logt_ref[...] + jnp.sum(logom, axis=2, keepdims=True)
+        feats = pc[:, 6:10]  # (G, 4)
+        rgbd = rgbd + jnp.dot(w, feats, preferred_element_type=jnp.float32)
+        log_t = log_t + jnp.sum(logom, axis=1, keepdims=True)
+        return j + 1, log_t, rgbd
 
-    @pl.when(j == n_chunks - 1)
-    def _finalize():
-        out_ref[...] = jnp.concatenate(
-            [rgbd_ref[...], jnp.exp(logt_ref[...]),
-             jnp.zeros((TB, P, 3), jnp.float32)], axis=2
-        )  # (TB, P, 8): rgb, depth, T_final, pad
+    init = (
+        jnp.int32(0),
+        jnp.zeros((P, 1), jnp.float32),
+        jnp.zeros((P, 4), jnp.float32),
+    )
+    _, log_t, rgbd = jax.lax.while_loop(cond, body, init)
+
+    out_ref[0] = jnp.concatenate(
+        [rgbd, jnp.exp(log_t), jnp.zeros((P, 3), jnp.float32)], axis=1
+    )  # (P, 8): rgb, depth, T_final, pad
 
 
 def _composite_pallas_raw(payload: jnp.ndarray, tile_px: int, chunk: int,
-                          tiles_x: int, tile_block: int = 8) -> jnp.ndarray:
+                          tiles_x: int) -> jnp.ndarray:
     num_tiles, K, C = payload.shape
     P = tile_px * tile_px
-    tile_block = min(tile_block, num_tiles)
-    assert num_tiles % tile_block == 0
     assert K % chunk == 0
     kernel = functools.partial(
         _kernel, tile_px=tile_px, chunk=chunk, n_chunks=K // chunk,
-        tiles_x=tiles_x, tile_block=tile_block,
+        tiles_x=tiles_x,
     )
     interpret = jax.default_backend() == "cpu"  # tests run interpreted
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(num_tiles // tile_block, K // chunk),
-        in_specs=[
-            pl.BlockSpec((tile_block, chunk, C), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile_block, P, 8), lambda i, j: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((tile_block, P, 1), jnp.float32),
-            pltpu.VMEM((tile_block, P, 4), jnp.float32),
-        ],
-    )
     return pl.pallas_call(
         kernel,
         interpret=interpret,
-        grid_spec=grid_spec,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, K, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, P, 8), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((num_tiles, P, 8), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

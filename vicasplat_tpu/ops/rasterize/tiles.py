@@ -70,7 +70,15 @@ def bin_splats(
     th = -(-H // tile_px)
     tw = -(-W // tile_px)
     num_tiles = th * tw
-    assert num_tiles < (1 << 9), "packed key reserves 9 bits for the tile id"
+    # tile-id bits sized to the tile count (values 0..num_tiles, the last
+    # being the cull sentinel); the rest of the u32 key holds depth bits.
+    # 256x256/16px -> 9 tile bits / 23 depth bits; 1024x1024/16px -> 13/19.
+    tile_bits = (num_tiles + 1).bit_length()
+    depth_shift = 32 - tile_bits
+    assert depth_shift >= 16, (
+        f"{num_tiles} tiles leave only {depth_shift} depth bits; raise "
+        f"tile_px for this resolution"
+    )
     n = splats.mean2d.shape[0]
     KH, KW = dup_hw
 
@@ -90,11 +98,12 @@ def bin_splats(
     wx0 = jnp.clip(ctx - (KW - 1) // 2, tx0, jnp.maximum(tx1 - KW + 1, tx0))
     wy0 = jnp.clip(cty - (KH - 1) // 2, ty0, jnp.maximum(ty1 - KH + 1, ty0))
 
-    # depth bits: positive floats compare identically as unsigned ints
+    # depth bits: positive floats compare identically as unsigned ints;
+    # dropping the low mantissa bits keeps front-to-back order to ~1e-5
     depth_bits = jax.lax.bitcast_convert_type(
         jnp.maximum(splats.depth, 1e-6).astype(jnp.float32), jnp.uint32
-    ) >> 10  # 22 significant bits keep exact front-to-back ordering to ~1e-5
-    sentinel = jnp.uint32((num_tiles << 22))
+    ) >> (32 - depth_shift)
+    sentinel = jnp.uint32(num_tiles) << depth_shift
 
     # (slot, N) layout: each of the KH*KW window slots is a full-lane (N,) op
     keys = []
@@ -104,16 +113,20 @@ def bin_splats(
             txx = wx0 + dx
             ok = (tyy <= ty1) & (txx <= tx1) & live
             tile = (tyy * tw + txx).astype(jnp.uint32)
-            keys.append(jnp.where(ok, (tile << 22) | depth_bits, sentinel))
+            keys.append(
+                jnp.where(ok, (tile << depth_shift) | depth_bits, sentinel)
+            )
     key = jnp.concatenate(keys)  # (kdup * N,)
     gauss_idx = jnp.tile(jnp.arange(n, dtype=jnp.int32), KH * KW)
 
     sorted_key, sorted_idx = jax.lax.sort((key, gauss_idx), num_keys=1)
 
-    tile_starts_keys = (jnp.arange(num_tiles, dtype=jnp.uint32) << 22)
+    tile_starts_keys = jnp.arange(num_tiles, dtype=jnp.uint32) << depth_shift
     starts = jnp.searchsorted(sorted_key, tile_starts_keys, side="left")
     ends = jnp.searchsorted(
-        sorted_key, tile_starts_keys + jnp.uint32(1 << 22), side="left"
+        sorted_key,
+        tile_starts_keys + (jnp.uint32(1) << depth_shift),
+        side="left",
     )
 
     k = jnp.arange(max_per_tile, dtype=jnp.int32)

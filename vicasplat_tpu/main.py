@@ -180,16 +180,21 @@ def train(cfg):
 
 
 def _validation_visuals(cfg, params, dm, global_step, writer):
-    """Render one val example and save a GT-vs-render comparison grid
-    (the reference's validation_step visuals, model_wrapper.py:523-681)."""
+    """Render one val example and save the reference's validation visuals
+    (model_wrapper.py:523-681): context/GT/render/depth comparison grid,
+    orthographic scene projections, a camera-trajectory figure, and an
+    interpolated-trajectory video."""
     import pathlib
 
     import numpy as np
 
     from .decoder.splatting import decoder_forward
     from .models import vicasplat_forward
-    from .utils.image_io import save_image
+    from .utils.image_io import save_image, save_video, vis_depth_map
+    from .visualization.drawing import draw_cameras_figure
     from .visualization.layout import add_label, hcat, vcat
+    from .visualization.validation_in_3d import render_projections
+    from .visualization.video_render import render_video_interpolation
 
     batch = next(iter(dm.val_dataloader()))
     ctx, tgt = batch["context"], batch["target"]
@@ -202,18 +207,54 @@ def _validation_visuals(cfg, params, dm, global_step, writer):
         cfg.decoder, out["gaussians"], tgt["extrinsics"], tgt["intrinsics"],
         tgt["near"], tgt["far"], (h, w),
     )
+    outdir = pathlib.Path(cfg.output_dir) / "val" / f"step_{global_step:07d}"
+
+    # --- comparison grid: context / GT / render / depth colormap ---
     n = min(4, tgt["image"].shape[1])
+    nc = min(4, ctx["image"].shape[1])
+    ctx_row = hcat(*[np.asarray(ctx["image"][0, i]) for i in range(nc)])
     gt_row = hcat(*[np.asarray(tgt["image"][0, i]) for i in range(n)])
     pr_row = hcat(*[np.asarray(rendered.color[0, i]) for i in range(n)])
-    grid = vcat(add_label(gt_row, "target (GT)"),
-                add_label(pr_row, "rendered"))
-    path = pathlib.Path(cfg.output_dir) / "val" / f"step_{global_step:07d}.png"
-    save_image(grid, path)
+    dp_row = hcat(*[vis_depth_map(np.asarray(rendered.depth[0, i]))
+                    for i in range(n)])
+    grid = vcat(add_label(ctx_row, "context"),
+                add_label(gt_row, "target (GT)"),
+                add_label(pr_row, "rendered"),
+                add_label(dp_row, "depth"))
+    save_image(grid, outdir / "comparison.png")
     if writer is not None:
         writer.add_image(
             "val/comparison", np.clip(grid, 0, 1).transpose(2, 0, 1),
             global_step,
         )
+
+    # --- orthographic projections of the Gaussian scene ---
+    try:
+        proj = render_projections(out["gaussians"], dec_cfg=cfg.decoder)
+        save_image(hcat(*[p for p in proj]), outdir / "projections.png")
+    except Exception as e:  # projections are best-effort observability
+        print(f"val projections skipped: {e}")
+
+    # --- predicted-vs-GT camera trajectory figure ---
+    try:
+        fig = draw_cameras_figure(
+            np.asarray(ctx["extrinsics"][0]),
+            np.asarray(out["gaussian_camera_extrins"][0]),
+        )
+        save_image(fig, outdir / "cameras.png")
+    except Exception as e:
+        print(f"val camera figure skipped: {e}")
+
+    # --- interpolated-trajectory video along predicted poses ---
+    try:
+        frames = render_video_interpolation(
+            out["gaussians"], out["gaussian_camera_extrins"][0],
+            ctx["intrinsics"][0], (h, w), steps_per_segment=6,
+            dec_cfg=cfg.decoder,
+        )
+        save_video(frames, outdir / "interpolation.mp4", fps=15)
+    except Exception as e:
+        print(f"val video skipped: {e}")
 
 
 def _make_tb_writer(cfg):

@@ -325,3 +325,30 @@ class TestMast3rIngest:
             student["backbone"]["camera_extrinsic_token"],
             atol=1e-6,
         )
+
+
+class TestLowChannelConvForms:
+    """The im2col / patchify matmul forms must equal the lax conv exactly
+    (they exist to dodge the MXU's low-input-channel padding waste)."""
+
+    def test_im2col_matches_conv(self):
+        rng = np.random.default_rng(11)
+        p = {
+            "w": jnp.asarray(rng.normal(size=(7, 7, 3, 32)).astype(np.float32)),
+            "b": jnp.asarray(rng.normal(size=(32,)).astype(np.float32)),
+        }
+        x = jnp.asarray(rng.normal(size=(2, 24, 24, 3)).astype(np.float32))
+        a = layers.conv2d(p, x, stride=1, padding=((3, 3), (3, 3)))
+        b = layers.conv2d_im2col(p, x, 7)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_patchify_matches_conv(self):
+        rng = np.random.default_rng(12)
+        p = {
+            "w": jnp.asarray(rng.normal(size=(16, 16, 3, 64)).astype(np.float32)),
+            "b": jnp.asarray(rng.normal(size=(64,)).astype(np.float32)),
+        }
+        x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+        a = layers.conv2d(p, x, stride=16, padding="VALID")
+        b = layers.conv2d_patchify(p, x, 16)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -95,8 +95,14 @@ def evaluate_scene(
     render_fn=None,        # jitted renderer
     align_fn=None,
     benchmarker: Optional[Benchmarker] = None,
+    lpips_fn=None,         # optional perceptual metric (needs VGG weights)
 ) -> dict:
     ctx, tgt = batch["context"], batch["target"]
+    assert ctx["image"].shape[0] == 1, (
+        "evaluate_scene scores one scene at a time; split batches before "
+        "calling (test loaders run at batch_size 1, reference "
+        "model_wrapper.py:326)"
+    )
     h, w = tgt["image"].shape[-3:-1]
     bench = benchmarker or Benchmarker()
 
@@ -131,6 +137,9 @@ def evaluate_scene(
     if eval_cfg.compute_scores:
         result["psnr"] = float(compute_psnr(tgt["image"], rendered.color).mean())
         result["ssim"] = float(compute_ssim(tgt["image"], rendered.color))
+        if lpips_fn is not None:
+            # reference evaluates LPIPS per scene (model_wrapper.py:360-364)
+            result["lpips"] = float(lpips_fn(tgt["image"], rendered.color))
         gt_poses = np.asarray(ctx["extrinsics"][0])
         pred_poses = np.asarray(out["gaussian_camera_extrins"][0])
         result.update(

@@ -368,15 +368,27 @@ def test(cfg):
         else None
     )
 
+    lpips_fn = _maybe_lpips(cfg)
     results = []
-    for batch in dm.test_dataloader():
-        r = evaluate_scene(
-            params, cfg.encoder, cfg.decoder, eval_cfg, batch,
-            encode_fn=encode_fn, render_fn=render_fn, align_fn=align_fn,
-            benchmarker=bench,
-        )
-        save_scene_outputs(r, batch, eval_cfg, cfg.encoder)
-        results.append({k: v for k, v in r.items() if not k.startswith("_")})
+    for full_batch in dm.test_dataloader():
+        # score per scene even if the loader batches >1 (scores would
+        # otherwise silently drop examples past the first)
+        n_ex = full_batch["context"]["image"].shape[0]
+        for i in range(n_ex):
+            batch = {
+                k: (jax.tree.map(lambda x: x[i: i + 1], v)
+                    if isinstance(v, dict) else v[i: i + 1])
+                for k, v in full_batch.items()
+            }
+            r = evaluate_scene(
+                params, cfg.encoder, cfg.decoder, eval_cfg, batch,
+                encode_fn=encode_fn, render_fn=render_fn, align_fn=align_fn,
+                benchmarker=bench, lpips_fn=lpips_fn,
+            )
+            save_scene_outputs(r, batch, eval_cfg, cfg.encoder)
+            results.append(
+                {k: v for k, v in r.items() if not k.startswith("_")}
+            )
         scored = [x for x in results if "psnr" in x]
         if scored:
             print(

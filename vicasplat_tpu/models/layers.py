@@ -126,6 +126,52 @@ def conv2d(p, x, stride=1, padding="SAME", dtype=None):
     return y
 
 
+def conv2d_im2col(p, x, kernel: int, dtype=None):
+    """SAME-padded stride-1 conv as explicit patches + one matmul.
+
+    For low input-channel counts (RGB) the MXU conv path pads channels to
+    the 128-lane width — a ~42x FLOP waste for a 3-channel 7x7 conv
+    (measured: the DPT-GS input_merger alone cost ~8 ms / 8 frames).
+    im2col makes the contraction dense: (N,H,W,k*k*C) @ (k*k*C, O).
+    """
+    w = p["w"]  # (kh, kw, I, O)
+    kh = kw = kernel
+    n, h, wd, c = x.shape
+    o = w.shape[-1]
+    if dtype is not None:
+        w = w.astype(dtype)
+        x = x.astype(dtype)
+    ph = kh // 2
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (ph, ph), (0, 0)))
+    patches = jnp.concatenate(
+        [xp[:, i: i + h, j: j + wd, :] for i in range(kh) for j in range(kw)],
+        axis=-1,
+    )  # (N, H, W, kh*kw*C) in (i, j, c) order — matches HWIO reshape
+    y = patches.reshape(-1, kh * kw * c) @ w.reshape(kh * kw * c, o)
+    y = y.reshape(n, h, wd, o)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def conv2d_patchify(p, x, patch: int, dtype=None):
+    """Non-overlapping kxk stride-k conv (patch embed) as reshape + matmul —
+    avoids the same low-channel MXU padding waste as conv2d_im2col."""
+    w = p["w"]  # (k, k, I, O)
+    n, h, wd, c = x.shape
+    o = w.shape[-1]
+    if dtype is not None:
+        w = w.astype(dtype)
+        x = x.astype(dtype)
+    gh, gw = h // patch, wd // patch
+    xr = x.reshape(n, gh, patch, gw, patch, c)
+    xr = xr.transpose(0, 1, 3, 2, 4, 5).reshape(n, gh * gw, patch * patch * c)
+    y = xr @ w.reshape(patch * patch * c, o)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y.reshape(n, gh, gw, o)
+
+
 def conv_transpose2d(p, x, stride, dtype=None):
     """Transposed conv with kernel size == stride (the DPT up-projections).
 

@@ -32,6 +32,7 @@ import numpy as np
 from ..ops import rope as rope_lib
 from .layers import (
     conv2d,
+    conv2d_patchify,
     conv_init,
     layernorm,
     layernorm_init,
@@ -367,10 +368,11 @@ def vicanet_forward(
     B, T, Himg, Wimg, _ = images.shape
     N = cfg.n_tokens
 
-    # --- patch embed (per frame) ---
+    # --- patch embed (per frame); reshape+matmul form avoids the MXU's
+    # 3->128 input-channel padding waste (see layers.conv2d_patchify) ---
     x = images.reshape(B * T, Himg, Wimg, 3)
-    x = conv2d(params["patch_embed"]["proj"], x, stride=cfg.patch_size,
-               padding="VALID", dtype=dtype)
+    x = conv2d_patchify(params["patch_embed"]["proj"], x, cfg.patch_size,
+                        dtype=dtype)
     x = x.reshape(B * T, cfg.n_patches, cfg.enc_embed_dim)
 
     if cfg.use_intrinsic_embedding:

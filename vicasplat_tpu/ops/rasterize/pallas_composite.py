@@ -75,45 +75,61 @@ def _kernel(payload_ref, out_ref, *, tile_px: int, chunk: int, n_chunks: int,
     gj = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
     tri = (gi < gj).astype(jnp.float32)
 
-    def cond(carry):
-        j, log_t, _ = carry
-        return jnp.logical_and(j < n_chunks, jnp.max(log_t) > _LOG_T_EPS)
+    def body(j, carry):
+        log_t, rgbd = carry
 
-    def body(carry):
-        j, log_t, rgbd = carry
-        pc = payload_ref[0, pl.ds(j * G, G), :]  # (G, 16)
-        mx = pc[:, 0][None, :]
-        my = pc[:, 1][None, :]
-        ca = pc[:, 2][None, :]
-        cb = pc[:, 3][None, :]
-        cc = pc[:, 4][None, :]
-        alp = pc[:, 5][None, :]
+        def composite(args):
+            log_t, rgbd = args
+            pc = payload_ref[0, pl.ds(j * G, G), :]  # (G, 16)
+            return _chunk_math(pc, px, py, tri, log_t, rgbd)
 
-        dx = px - mx  # (P, G)
-        dy = py - my
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        a = jnp.minimum(0.99, alp * jnp.exp(jnp.minimum(power, 0.0)))
-        a = jnp.where((power > 0.0) | (a < 1.0 / 255.0), 0.0, a)
-
-        logom = jnp.log1p(-a)  # (P, G)
-        prefix = jnp.dot(logom, tri, preferred_element_type=jnp.float32)
-        w = jnp.exp(log_t + prefix) * a
-
-        feats = pc[:, 6:10]  # (G, 4)
-        rgbd = rgbd + jnp.dot(w, feats, preferred_element_type=jnp.float32)
-        log_t = log_t + jnp.sum(logom, axis=1, keepdims=True)
-        return j + 1, log_t, rgbd
+        # per-tile early exit: skip the chunk once every pixel is saturated
+        # (fori_loop + cond — an in-kernel while_loop wedges the Mosaic
+        # compiler on this body)
+        alive = jnp.max(log_t) > _LOG_T_EPS
+        return jax.lax.cond(alive, composite, lambda args: args, (log_t, rgbd))
 
     init = (
-        jnp.int32(0),
         jnp.zeros((P, 1), jnp.float32),
         jnp.zeros((P, 4), jnp.float32),
     )
-    _, log_t, rgbd = jax.lax.while_loop(cond, body, init)
+    if n_chunks == 1:
+        # straight-line body: no in-kernel loop at all (most robust to
+        # compile; no early exit — the whole payload is one chunk)
+        log_t, rgbd = _chunk_math(payload_ref[0], px, py, tri, *init)
+    else:
+        log_t, rgbd = jax.lax.fori_loop(0, n_chunks, body, init)
 
     out_ref[0] = jnp.concatenate(
         [rgbd, jnp.exp(log_t), jnp.zeros((P, 3), jnp.float32)], axis=1
     )  # (P, 8): rgb, depth, T_final, pad
+
+
+def _chunk_math(pc, px, py, tri, log_t, rgbd):
+    """One G-splat chunk of front-to-back compositing over P pixels.
+    pc: (G, 16); px/py: (P, 1); tri: (G, G) strictly-upper ones."""
+    mx = pc[:, 0][None, :]
+    my = pc[:, 1][None, :]
+    ca = pc[:, 2][None, :]
+    cb = pc[:, 3][None, :]
+    cc = pc[:, 4][None, :]
+    alp = pc[:, 5][None, :]
+
+    dx = px - mx  # (P, G)
+    dy = py - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    a = jnp.minimum(0.99, alp * jnp.exp(jnp.minimum(power, 0.0)))
+    a = jnp.where((power > 0.0) | (a < 1.0 / 255.0), 0.0, a)
+
+    logom = jnp.log1p(-a)  # (P, G)
+    prefix = jnp.dot(logom, tri, preferred_element_type=jnp.float32)
+    w = jnp.exp(log_t + prefix) * a
+
+    feats = pc[:, 6:10]  # (G, 4)
+    return (
+        log_t + jnp.sum(logom, axis=1, keepdims=True),
+        rgbd + jnp.dot(w, feats, preferred_element_type=jnp.float32),
+    )
 
 
 def _composite_pallas_raw(payload: jnp.ndarray, tile_px: int, chunk: int,

@@ -222,3 +222,56 @@ class TestShims:
         np.testing.assert_allclose(
             out["context"]["intrinsics"][0, 0, 0], 455 / 256, rtol=1e-3
         )
+
+
+class TestMultiWorker:
+    def test_shards_cover_all_examples(self, tmp_path):
+        """num_workers shards partition the chunk set: the union of examples
+        equals the single-thread set (order aside)."""
+        make_chunk(tmp_path, n_scenes=4, n_views=12, hw=(64, 64))
+        cfgs = {
+            "re10k": {
+                "name": "re10k",
+                "roots": [str(tmp_path)],
+                "input_image_shape": [32, 32],
+                "view_sampler": {
+                    "name": "sequential",
+                    "num_context_views": 2,
+                    "num_target_views": 1,
+                    "min_distance_between_context_views": 2,
+                    "max_distance_between_context_views": 3,
+                },
+            }
+        }
+        loader_cfg = {"train": {"batch_size": 1, "seed": 7, "num_workers": 2}}
+        dm = DataModule(cfgs, loader_cfg)
+        scenes_mw = sorted(
+            b["scene"][0] for b in dm.train_dataloader()
+        )
+        loader_cfg0 = {"train": {"batch_size": 1, "seed": 7, "num_workers": 0}}
+        dm0 = DataModule(cfgs, loader_cfg0)
+        scenes_st = sorted(b["scene"][0] for b in dm0.train_dataloader())
+        assert scenes_mw == scenes_st and len(scenes_mw) == 4
+
+    def test_multiworker_batching(self, tmp_path):
+        make_chunk(tmp_path, n_scenes=6, n_views=12, hw=(64, 64))
+        cfgs = {
+            "re10k": {
+                "name": "re10k",
+                "roots": [str(tmp_path)],
+                "input_image_shape": [32, 32],
+                "view_sampler": {
+                    "name": "sequential",
+                    "num_context_views": 2,
+                    "num_target_views": 1,
+                    "min_distance_between_context_views": 2,
+                    "max_distance_between_context_views": 3,
+                },
+            }
+        }
+        loader_cfg = {"train": {"batch_size": 2, "seed": 7, "num_workers": 3}}
+        dm = DataModule(cfgs, loader_cfg)
+        batches = list(dm.train_dataloader())
+        assert len(batches) == 3  # 6 scenes, batch 2, drop_last
+        for b in batches:
+            assert b["context"]["image"].shape[0] == 2

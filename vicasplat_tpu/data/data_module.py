@@ -25,6 +25,12 @@ class DataLoaderConfig:
     batch_size: int = 2
     seed: int = 1234
     prefetch: int = 2
+    # parallel decode workers per dataset (the reference DataLoader's
+    # num_workers, data_module.py:90-110). 0 = single-thread deterministic
+    # iteration; >0 shards chunks across threads (PIL JPEG decode and
+    # torch.load release the GIL, so threads scale without forking under
+    # a live JAX runtime).
+    num_workers: int = 0
 
 
 def collate(examples: list[dict]) -> dict:
@@ -41,21 +47,41 @@ def collate(examples: list[dict]) -> dict:
 
 
 class PrefetchIterator:
-    """Wraps an example iterator: collates batches on a worker thread."""
+    """Collates batches from one or more example iterators on background
+    threads. With several iterators (num_workers shards), each runs on its
+    own thread feeding a shared example queue — decode parallelism — and one
+    collator thread assembles batches ahead of the training loop."""
 
-    def __init__(self, example_iter: Iterator[dict], batch_size: int,
+    def __init__(self, example_iters, batch_size: int,
                  prefetch: int = 2, drop_last: bool = True):
-        self._iter = example_iter
+        if not isinstance(example_iters, (list, tuple)):
+            example_iters = [example_iters]
         self.batch_size = batch_size
         self.drop_last = drop_last
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
-        self._thread = threading.Thread(target=self._worker, daemon=True)
-        self._thread.start()
+        if len(example_iters) == 1:
+            self._threads = [threading.Thread(
+                target=self._single_worker, args=(example_iters[0],),
+                daemon=True,
+            )]
+        else:
+            self._ex_q: queue.Queue = queue.Queue(
+                maxsize=max(2 * batch_size, 8)
+            )
+            self._threads = [
+                threading.Thread(target=self._producer, args=(it,), daemon=True)
+                for it in example_iters
+            ]
+            self._threads.append(threading.Thread(
+                target=self._collator, args=(len(example_iters),), daemon=True
+            ))
+        for t in self._threads:
+            t.start()
 
-    def _worker(self):
+    def _single_worker(self, it):
         batch = []
         try:
-            for ex in self._iter:
+            for ex in it:
                 batch.append(ex)
                 if len(batch) == self.batch_size:
                     self._q.put(collate(batch))
@@ -63,6 +89,35 @@ class PrefetchIterator:
             if batch and not self.drop_last:
                 self._q.put(collate(batch))
         except Exception as e:  # surface worker errors to the consumer
+            self._q.put(e)
+        self._q.put(None)
+
+    def _producer(self, it):
+        try:
+            for ex in it:
+                self._ex_q.put(ex)
+        except Exception as e:
+            self._ex_q.put(e)
+        self._ex_q.put(StopIteration())
+
+    def _collator(self, n_producers: int):
+        batch = []
+        done = 0
+        try:
+            while done < n_producers:
+                item = self._ex_q.get()
+                if isinstance(item, StopIteration):
+                    done += 1
+                    continue
+                if isinstance(item, Exception):
+                    raise item
+                batch.append(item)
+                if len(batch) == self.batch_size:
+                    self._q.put(collate(batch))
+                    batch = []
+            if batch and not self.drop_last:
+                self._q.put(collate(batch))
+        except Exception as e:
             self._q.put(e)
         self._q.put(None)
 
@@ -129,15 +184,25 @@ class DataModule:
         return DataLoaderConfig(**{k: v for k, v in section.items() if k in fields})
 
     def loader(self, stage: str):
+        lp = self._loader_params(stage, next(iter(self.dataset_cfgs), ""))
+        nw = lp.num_workers if stage == "train" else 0
         iters = []
-        batch_size = 1
         for name, ds_dict in self.dataset_cfgs.items():
-            lp = self._loader_params(stage, name)
-            batch_size = lp.batch_size
-            seed = lp.seed + self.global_rank  # per-rank seeding
+            dlp = self._loader_params(stage, name)
+            seed = dlp.seed + self.global_rank  # per-rank seeding
             ds = _build_dataset(dict(ds_dict, name=ds_dict.get("name", name)),
                                 stage, self.step_tracker, seed)
-            iters.append(iter(ds))
+            if nw > 0 and hasattr(ds, "iter_shard"):
+                # decode parallelism: each worker owns a chunk shard
+                iters.extend(ds.iter_shard(w, nw) for w in range(nw))
+            else:
+                iters.append(iter(ds))
+
+        if nw > 0:
+            return PrefetchIterator(
+                iters, batch_size=lp.batch_size, prefetch=lp.prefetch,
+                drop_last=stage == "train",
+            )
 
         def round_robin():
             live = list(iters)
@@ -148,7 +213,6 @@ class DataModule:
                     except StopIteration:
                         live.remove(it)
 
-        lp = self._loader_params(stage, next(iter(self.dataset_cfgs), ""))
         return PrefetchIterator(
             round_robin(), batch_size=lp.batch_size, prefetch=lp.prefetch,
             drop_last=stage == "train",

@@ -78,6 +78,7 @@ class DatasetRE10k:
         self.cfg = cfg
         self.stage = stage
         self.view_sampler = view_sampler
+        self._seed = seed
         self.rng = np.random.default_rng(seed)
         self.chunks: list[pathlib.Path] = []
         for root in cfg.roots:
@@ -120,29 +121,63 @@ class DatasetRE10k:
         return torch.load(path, map_location="cpu", weights_only=False)
 
     def __iter__(self) -> Iterator[dict]:
-        chunks = list(self.chunks)
-        if self.stage in ("train", "val"):
-            self.rng.shuffle(chunks)
-        for chunk_path in chunks:
-            chunk = self._load_chunk(chunk_path)
-            if self.cfg.overfit_to_scene is not None:
-                chunk = [x for x in chunk if x["key"] == self.cfg.overfit_to_scene]
-                chunk = chunk * max(1, len(chunk))
-            if self.stage in ("train", "val"):
-                self.rng.shuffle(chunk)
-            for raw in chunk:
-                ex = self._process(raw)
-                if ex is not None:
-                    yield ex
+        yield from self.iter_shard(0, 1)
 
-    def _process(self, raw: dict) -> Optional[dict]:
+    def iter_shard(self, worker_id: int = 0, num_workers: int = 1
+                   ) -> Iterator[dict]:
+        """Iterate a disjoint chunk shard (the torch-DataLoader num_workers
+        split, reference data_module.py:90-110): all workers shuffle the
+        chunk list with the SAME seed, then take chunks[worker_id::n]."""
+        chunks = list(self.chunks)
+        shuffle_rng = np.random.default_rng(self._seed)
+        rng = (self.rng if num_workers == 1
+               else np.random.default_rng([self._seed, worker_id]))
+        if self.stage in ("train", "val"):
+            shuffle_rng.shuffle(chunks)
+        chunks = chunks[worker_id::num_workers]
+        if num_workers == 1:
+            for chunk_path in chunks:
+                for raw in self._chunk_examples(chunk_path, rng):
+                    ex = self._process(raw, rng)
+                    if ex is not None:
+                        yield ex
+            return
+        # parallel mode: JPEG decode dominates and releases the GIL, so a
+        # small per-worker pool decodes examples of a chunk concurrently
+        # (per-example forked rngs keep sampling deterministic per config)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            for ci, chunk_path in enumerate(chunks):
+                raws = list(self._chunk_examples(chunk_path, rng))
+                rngs = [
+                    np.random.default_rng(
+                        [self._seed, worker_id, ci, i]
+                    )
+                    for i in range(len(raws))
+                ]
+                for ex in pool.map(self._process, raws, rngs):
+                    if ex is not None:
+                        yield ex
+
+    def _chunk_examples(self, chunk_path, rng):
+        chunk = self._load_chunk(chunk_path)
+        if self.cfg.overfit_to_scene is not None:
+            chunk = [x for x in chunk if x["key"] == self.cfg.overfit_to_scene]
+            chunk = chunk * max(1, len(chunk))
+        if self.stage in ("train", "val"):
+            rng.shuffle(chunk)
+        return chunk
+
+    def _process(self, raw: dict, rng=None) -> Optional[dict]:
         cfg = self.cfg
+        rng = self.rng if rng is None else rng
         cameras = np.asarray(raw["cameras"], np.float32)
         extrinsics, intrinsics = convert_poses(cameras)
         scene = raw["key"]
         try:
             ctx_idx, tgt_idx, overlap = self.view_sampler.sample(
-                scene, extrinsics.shape[0], self.rng
+                scene, extrinsics.shape[0], rng
             )
         except NotEnoughFramesError:
             return None
@@ -190,5 +225,5 @@ class DatasetRE10k:
             "scene": scene,
         }
         if self.stage == "train" and cfg.augment:
-            example = apply_augmentation_shim(example, self.rng)
+            example = apply_augmentation_shim(example, rng)
         return apply_crop_shim(example, tuple(cfg.input_image_shape))

@@ -22,6 +22,7 @@ from ..ops import rope as rope_lib
 from .heads import DPTConfig, dpt_regression_head, init_dpt, postprocess_conf_exp, postprocess_pts3d_exp
 from .layers import (
     conv2d,
+    conv2d_patchify,
     conv_init,
     layernorm,
     layernorm_init,
@@ -153,8 +154,8 @@ def dust3r_forward(params, cfg: Dust3RConfig, img1, img2, *, dtype=jnp.bfloat16)
     N = cfg.grid * (W // cfg.patch_size)
 
     def encode(img):
-        x = conv2d(params["patch_embed"]["proj"], img, stride=cfg.patch_size,
-                   padding="VALID", dtype=dtype)
+        x = conv2d_patchify(params["patch_embed"]["proj"], img,
+                            cfg.patch_size, dtype=dtype)
         x = x.reshape(B, -1, cfg.enc_embed_dim)
         cos_e, sin_e = rope_lib.make_rope_2d_tables(
             rope_lib.grid_positions(H // cfg.patch_size, W // cfg.patch_size),

@@ -64,7 +64,6 @@ def main():
     tgt_K = jnp.broadcast_to(K[:, :1], (B, n_views, 3, 3))
     dec_cfg = DecoderSplattingConfig()
 
-    @jax.jit
     def e2e(params, batch):
         out = vicasplat_forward(params, cfg, batch, dtype=jnp.bfloat16)
         rendered = decoder_forward(
@@ -74,17 +73,39 @@ def main():
         )
         return rendered.color, out["gaussian_camera_extrins"]
 
-    # warmup/compile; a float() pull forces real completion (the axon
-    # backend's block_until_ready returns before execution finishes)
-    color, poses = e2e(params, batch)
-    _ = float(color.ravel()[0]) + float(poses.ravel()[0])
+    # Timing methodology (validated in tools/jobs/013_timing_diag): on the
+    # axon tunnel, per-dispatch overhead is ~50-70 ms and a single-element
+    # pull does NOT wait for the producing computation, so a Python loop of
+    # jitted calls measures the tunnel, not the chip. Instead run the
+    # iterations inside ONE jitted lax.scan (a runtime-zero epsilon on the
+    # input stops loop hoisting; a sum(abs(.)) of each output blocks XLA's
+    # slice/reduce algebraic shortcuts), sync with a full device_get, and
+    # difference two iteration counts to cancel fixed dispatch overhead.
+    import numpy as np
 
-    n_iters = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        color, poses = e2e(params, batch)
-    _ = float(color.ravel()[0])
-    dt = (time.perf_counter() - t0) / n_iters
+    @jax.jit
+    def loop(eps_arr, params, batch):
+        def body(carry, eps):
+            b = dict(batch, image=batch["image"] + eps)
+            color, poses = e2e(params, b)
+            s = jnp.sum(jnp.abs(color)).astype(jnp.float32)
+            s = s + jnp.sum(jnp.abs(poses)).astype(jnp.float32)
+            return carry + s, None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), eps_arr)
+        return jnp.broadcast_to(acc, (8, 128))
+
+    def run(iters):
+        t0 = time.perf_counter()
+        _ = np.asarray(jax.device_get(loop(jnp.zeros((iters,), jnp.float32),
+                                           params, batch))).sum()
+        return time.perf_counter() - t0
+
+    base_n, n_iters = 2, 12
+    run(base_n), run(n_iters)  # compile + first-dispatch warmup
+    dt = min(
+        (run(n_iters) - run(base_n)) / (n_iters - base_n) for _ in range(2)
+    )
 
     print(json.dumps({
         "metric": "re10k_8view_e2e_latency",

@@ -49,12 +49,14 @@ _LOG_T_EPS = math.log(1e-4)  # stop once max transmittance under this
 
 def _kernel(payload_ref, out_ref, *, tile_px: int, chunk: int, n_chunks: int,
             tiles_x: int):
-    """Grid = (num_tiles,). payload_ref: (1, K, 16) — the tile's FULL binned
+    """Grid = (num_tiles,). payload_ref: (K, 16) — the tile's FULL binned
     payload as one pipelined VMEM block (32 KB at K=512), so the next tile's
-    DMA overlaps this tile's compute. A while_loop walks K in G-splat chunks
-    with 2D (P, G) math (Mosaic stack-accounts 3D multi-tile temps at ~100x,
-    so per-tile 2D is the shape that fits) and stops once every pixel is
-    saturated — per-tile early exit."""
+    DMA overlaps this tile's compute. Blocks are 2D slices of a flattened
+    (T*K, 16) operand: Mosaic stack-accounts leading-1 3D blocks at ~13x
+    their size (measured 108 MB scoped vmem for an 8.4 MB operand), while 2D
+    blocks are accounted exactly. A fori_loop walks K in G-splat chunks with
+    2D (P, G) math and skips chunks once every pixel is saturated — per-tile
+    early exit."""
     P = tile_px * tile_px
     G = chunk
 
@@ -80,7 +82,7 @@ def _kernel(payload_ref, out_ref, *, tile_px: int, chunk: int, n_chunks: int,
 
         def composite(args):
             log_t, rgbd = args
-            pc = payload_ref[0, pl.ds(j * G, G), :]  # (G, 16)
+            pc = payload_ref[pl.ds(j * G, G), :]  # (G, 16)
             return _chunk_math(pc, px, py, tri, log_t, rgbd)
 
         # per-tile early exit: skip the chunk once every pixel is saturated
@@ -96,11 +98,11 @@ def _kernel(payload_ref, out_ref, *, tile_px: int, chunk: int, n_chunks: int,
     if n_chunks == 1:
         # straight-line body: no in-kernel loop at all (most robust to
         # compile; no early exit — the whole payload is one chunk)
-        log_t, rgbd = _chunk_math(payload_ref[0], px, py, tri, *init)
+        log_t, rgbd = _chunk_math(payload_ref[...], px, py, tri, *init)
     else:
         log_t, rgbd = jax.lax.fori_loop(0, n_chunks, body, init)
 
-    out_ref[0] = jnp.concatenate(
+    out_ref[...] = jnp.concatenate(
         [rgbd, jnp.exp(log_t), jnp.zeros((P, 3), jnp.float32)], axis=1
     )  # (P, 8): rgb, depth, T_final, pad
 
@@ -142,17 +144,16 @@ def _composite_pallas_raw(payload: jnp.ndarray, tile_px: int, chunk: int,
         tiles_x=tiles_x,
     )
     interpret = jax.default_backend() == "cpu"  # tests run interpreted
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         interpret=interpret,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((1, K, C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, P, 8), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((P, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, P, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles * P, 8), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -161,7 +162,8 @@ def _composite_pallas_raw(payload: jnp.ndarray, tile_px: int, chunk: int,
             bytes_accessed=num_tiles * K * C * 4 + num_tiles * P * 8 * 4,
             transcendentals=num_tiles * P * K,
         ),
-    )(payload)
+    )(payload.reshape(num_tiles * K, C))
+    return out.reshape(num_tiles, P, 8)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))

@@ -342,6 +342,18 @@ class TestLowChannelConvForms:
         b = layers.conv2d_im2col(p, x, 7)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
+    def test_s2d_matches_conv(self):
+        rng = np.random.default_rng(13)
+        for k, s2, cin in [(7, 4, 3), (3, 2, 5), (5, 4, 3)]:
+            p = {
+                "w": jnp.asarray(rng.normal(size=(k, k, cin, 16)).astype(np.float32)),
+                "b": jnp.asarray(rng.normal(size=(16,)).astype(np.float32)),
+            }
+            x = jnp.asarray(rng.normal(size=(2, 16, 32, cin)).astype(np.float32))
+            a = layers.conv2d(p, x, stride=1, padding="SAME")
+            b = layers.conv2d_s2d(p, x, k, s=s2)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
     def test_patchify_matches_conv(self):
         rng = np.random.default_rng(12)
         p = {

@@ -29,7 +29,11 @@ CAM = {
     "intrinsics": jnp.array([[[1.2, 0.0, 0.5], [0.0, 1.2, 0.5], [0.0, 0.0, 1.0]]]),
 }
 BG = jnp.zeros(3)
-CFG = RasterizeConfig(tile_px=8, dup_hw=(4, 4), max_per_tile=64, chunk=32, tile_group=16)
+# exact f32 payload rows for oracle comparisons at tight (2e-3) tolerances;
+# the production default (packed_gather=True) rounds alpha/color to bf16 and
+# is covered by TestPackedGather at its own tolerance.
+CFG = RasterizeConfig(tile_px=8, dup_hw=(4, 4), max_per_tile=64, chunk=32,
+                      tile_group=16, packed_gather=False)
 
 
 class TestTiledVsBruteForce:
@@ -260,7 +264,7 @@ class TestHighResolution:
         # radii double in pixels at 512^2, so the dup window must widen to
         # keep full coverage (8x8 tiles = radius <= 64px here)
         cfg = RasterizeConfig(tile_px=16, dup_hw=(8, 8), max_per_tile=64,
-                              chunk=32, tile_group=64)
+                              chunk=32, tile_group=64, packed_gather=False)
         color, depth, alpha = render(
             means, covs, sh, opac, CAM["extrinsics"], CAM["intrinsics"],
             shape, BG, sh_degree=0, cfg=cfg,
@@ -279,7 +283,7 @@ class TestHighResolution:
         covs = covs * 0.25  # keep radii within the 4x4 dup window at 256px
         shape = (128, 256)
         cfg = RasterizeConfig(tile_px=16, dup_hw=(4, 4), max_per_tile=64,
-                              chunk=32, tile_group=32)
+                              chunk=32, tile_group=32, packed_gather=False)
         color, _, alpha = render(
             means, covs, sh, opac, CAM["extrinsics"], CAM["intrinsics"],
             shape, BG, sh_degree=0, cfg=cfg,
@@ -289,3 +293,69 @@ class TestHighResolution:
             shape, BG, sh_degree=0,
         )
         np.testing.assert_allclose(color[0], c_ref, atol=2e-3)
+
+
+class TestPackedGather:
+    """The production 32-byte packed payload rows (tiles.packed_row_gather):
+    geometry columns are bit-exact f32; alpha/color round to bf16."""
+
+    def test_pack_roundtrip_f32_fields_exact(self):
+        from vicasplat_tpu.ops.rasterize.tiles import _pack_words, _unpack_words
+
+        p = jax.random.normal(jax.random.PRNGKey(0), (64, 16))
+        q = _unpack_words(_pack_words(p))
+        # mean2d, conic, depth are bit-exact
+        for col in (0, 1, 2, 3, 4, 9):
+            np.testing.assert_array_equal(np.asarray(q[:, col]), np.asarray(p[:, col]))
+        # alpha/color round to bf16 (<= 0.4% relative)
+        for col in (5, 6, 7, 8):
+            np.testing.assert_allclose(q[:, col], p[:, col], rtol=4e-3)
+
+    def test_packed_render_close_to_exact(self):
+        import dataclasses
+
+        means, covs, sh, opac = make_scene(jax.random.PRNGKey(11))
+        shape = (32, 32)
+        cfg_packed = dataclasses.replace(CFG, packed_gather=True)
+        cp, dp, ap = render(
+            means, covs, sh, opac, CAM["extrinsics"], CAM["intrinsics"],
+            shape, BG, sh_degree=0, cfg=cfg_packed,
+        )
+        cx, dx, ax = render(
+            means, covs, sh, opac, CAM["extrinsics"], CAM["intrinsics"],
+            shape, BG, sh_degree=0, cfg=CFG,
+        )
+        np.testing.assert_allclose(cp, cx, atol=1.5e-2)
+        np.testing.assert_allclose(ap, ax, atol=1.5e-2)
+        np.testing.assert_allclose(dp, dx, atol=5e-2)
+
+    def test_packed_gradients_match_exact(self):
+        import dataclasses
+
+        means, covs, sh, opac = make_scene(jax.random.PRNGKey(12), n=32)
+        base = RasterizeConfig(tile_px=8, dup_hw=(3, 3), max_per_tile=64,
+                               chunk=32, tile_group=4, packed_gather=False)
+
+        def make_loss(cfg):
+            def loss(m, s, o):
+                c, _, _ = render(
+                    m, covs, s, o, CAM["extrinsics"], CAM["intrinsics"],
+                    (16, 16), BG, sh_degree=0, cfg=cfg,
+                )
+                return (c ** 2).sum()
+            return loss
+
+        g_exact = jax.grad(make_loss(base), argnums=(0, 1, 2))(means, sh, opac)
+        g_packed = jax.grad(
+            make_loss(dataclasses.replace(base, packed_gather=True)),
+            argnums=(0, 1, 2),
+        )(means, sh, opac)
+        for ge, gp in zip(g_exact, g_packed):
+            assert jnp.isfinite(gp).all()
+            # bf16-rounded alpha can flip a 1/255 skip threshold for a
+            # borderline splat, so allow isolated discrete deviations: 95%
+            # of elements tight, all elements bounded relative to the scale
+            err = np.abs(np.asarray(gp) - np.asarray(ge)).ravel()
+            scale = np.abs(np.asarray(ge)).max() + 1e-8
+            assert np.quantile(err, 0.95) <= 0.05 * scale + 2e-3
+            assert err.max() <= 0.3 * scale

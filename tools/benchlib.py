@@ -24,15 +24,19 @@ import numpy as np
 
 
 def _perturb_first(args, eps):
-    done = [False]
+    """Perturb EVERY leaf of the FIRST argument by the runtime-zero eps.
 
-    def f(x):
-        if not done[0] and hasattr(x, "dtype"):
-            done[0] = True
-            return x + eps.astype(x.dtype)  # eps is 0 but runtime-valued
-        return x
-
-    return jax.tree.map(f, args)
+    Perturbing a single leaf is not enough: anything that depends only on
+    the untouched leaves is loop-invariant and XLA hoists it out of the scan
+    (measured: a full ViT backbone "ran" in -0.9 ms because only the final
+    layernorm's bias was perturbed). Callers must pass the streamed input
+    (image, splats, keys, ...) as the first argument.
+    """
+    first, rest = args[0], args[1:]
+    first = jax.tree.map(
+        lambda x: x + eps.astype(x.dtype) if hasattr(x, "dtype") else x, first
+    )
+    return (first, *rest)
 
 
 def _make_loop(fn):

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from .layers import (
     conv2d,
     conv2d_im2col,
+    conv2d_s2d,
     conv_init,
     conv_transpose2d,
     linear,
@@ -177,12 +178,14 @@ def dpt_gs_head(params, cfg: DPTConfig, hook_tokens, grid_hw, images, dtype):
     n, hh, ww, c = p1.shape
     p1 = resize_bilinear_align_corners(p1, (2 * hh, 2 * ww))
     if cfg.use_input_merger:
-        # im2col form: the 7x7 RGB conv on the MXU conv path pads channels
-        # 3->128 (~42x FLOP waste, measured ~8ms/8 frames)
+        # space-to-depth form: native conv pads channels 3->128 (~42x FLOP
+        # waste, ~8ms/8 frames); im2col fixes that but pays ~3ms of 49-slice
+        # concat bandwidth; s2d folds 4x4 pixels into channels (3->48) and
+        # runs one dense conv (~0.4ms). Exactly equivalent (layers.conv2d_s2d).
         direct = jax.nn.relu(
-            conv2d_im2col(
+            conv2d_s2d(
                 params["input_merger"]["conv"], images.astype(p1.dtype), 7,
-                dtype=dtype,
+                s=4, dtype=dtype,
             )
         )
         p1 = p1 + direct

@@ -172,6 +172,69 @@ def conv2d_patchify(p, x, patch: int, dtype=None):
     return y.reshape(n, gh, gw, o)
 
 
+def conv2d_s2d(p, x, kernel: int, s: int = 4, dtype=None):
+    """SAME-padded stride-1 low-channel conv via space-to-depth.
+
+    The MXU conv path pads input channels to 128 lanes, so a 7x7 RGB conv
+    wastes ~42x FLOPs; the im2col form fixes the padding but pays ~3 ms of
+    49-slice concat bandwidth (measured, tools/jobs/021). Instead fold s*s
+    spatial positions into channels (3 -> 48 at s=4), run ONE dense conv
+    whose kernel is the exact block-space rearrangement of the original
+    (kh' = ceil(k/s)+1 taps), and unfold the s*s output phases back to
+    space. Exactly equivalent to conv2d(p, x, padding="SAME"-centered) for
+    odd kernels; ~8x faster than im2col for the 7x7 RGB merger.
+    """
+    w = p["w"]  # (k, k, C, O)
+    k = kernel
+    assert k % 2 == 1, "centered SAME padding requires an odd kernel"
+    n, h, wd, c = x.shape
+    o = w.shape[-1]
+    if dtype is not None:
+        w = w.astype(dtype)
+        x = x.astype(dtype)
+    assert h % s == 0 and wd % s == 0
+    hb, wb = h // s, wd // s
+    pad = k // 2
+
+    # block-space kernel extent: a + u - pad for a,u in [0,s)x[0,k) spans
+    # [-pad, s - 1 + k - 1 - pad]; kh = floor(./s)
+    kh_lo = -(pad // s) - (1 if pad % s else 0)
+    kh_hi = (s - 2 + k - pad) // s
+    kt = kh_hi - kh_lo + 1  # taps per axis in block space
+
+    # W_s2d[kh, kw, dy, dx, c, a, b, o] = W[s*kh + dy - a + pad,
+    #                                       s*kw + dx - b + pad, c, o]
+    idx = (
+        s * (jnp.arange(kt) + kh_lo)[:, None, None]
+        + jnp.arange(s)[None, :, None]
+        - jnp.arange(s)[None, None, :]
+        + pad
+    )  # (kt, s, s) -> u
+    valid = (idx >= 0) & (idx < k)
+    idx_c = jnp.clip(idx, 0, k - 1)
+    # gather along both kernel axes
+    wk = w[idx_c]  # (kt, s_dy, s_a, k, C, O)
+    wk = jnp.moveaxis(wk, 3, 0)[idx_c]  # (kt, s_dx, s_b, kt, s_dy, s_a, C, O)
+    wk = wk * valid[:, :, :, None, None, None, None, None]
+    wk = wk * valid[None, None, None, :, :, :, None, None]
+    # -> (kt_h, kt_w, dy, dx, C, a, b, O)
+    wk = wk.transpose(3, 0, 4, 1, 6, 5, 2, 7)
+    w2 = wk.reshape(kt, kt, s * s * c, s * s * o)
+    # NOTE axis order: input s2d channels are (dy, dx, c); output (a, b, o)
+
+    xs = x.reshape(n, hb, s, wb, s, c).transpose(0, 1, 3, 2, 4, 5)
+    xs = xs.reshape(n, hb, wb, s * s * c)
+    y = jax.lax.conv_general_dilated(
+        xs, w2, (1, 1), ((-kh_lo, kh_hi), (-kh_lo, kh_hi)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (n, hb, wb, s*s*o)
+    y = y.reshape(n, hb, wb, s, s, o).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(n, h, wd, o)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
 def conv_transpose2d(p, x, stride, dtype=None):
     """Transposed conv with kernel size == stride (the DPT up-projections).
 
@@ -232,9 +295,21 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: Sequence[int]) -> jnp.
 def sdpa(q, k, v, mask=None):
     """Attention over (B, S, H, D) tensors (BSHD layout).
 
-    mask: broadcastable boolean (..., Sq, Sk), True = attend. Computation uses
-    XLA's fused attention path; softmax in float32.
+    mask: broadcastable boolean (..., Sq, Sk), True = attend; softmax in
+    float32. Written as explicit einsums: jax.nn.dot_product_attention's XLA
+    path measured 13-22 TF/s on the mix decoder's (1, 2056, 12, 64) shape
+    while the same math as two einsums measures ~90 TF/s
+    (tools/jobs/024_attention_impls).
     """
+    s = jnp.einsum("...qhd,...khd->...hqk", q, k) / math.sqrt(q.shape[-1])
+    if mask is not None:
+        s = jnp.where(mask, s, -1e30)
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("...hqk,...khd->...qhd", p, v)
+
+
+def sdpa_xla(q, k, v, mask=None):
+    """jax.nn.dot_product_attention reference path (kept for comparison)."""
     return jax.nn.dot_product_attention(
         q, k, v, mask=mask, scale=1.0 / math.sqrt(q.shape[-1])
     )

@@ -23,6 +23,7 @@ TPU design notes:
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional
 
 import jax
@@ -64,6 +65,10 @@ class VicaNetConfig:
     use_framewise_modulation: bool = True
     use_cross_neighbor_attention: bool = True
     use_intrinsic_embedding: bool = True
+    # Pallas flash kernel for the decoder's joint image-token attention
+    # (TPU only; the einsum path is used on other backends and for the tiny
+    # camera-query attention). Numerically the same softmax(QK^T)V in f32.
+    use_flash_attention: bool = True
 
     @property
     def grid(self) -> int:
@@ -212,6 +217,65 @@ def camera_blocked_causal_mask(T: int, n_tokens: int, first_token_full_attn: boo
 # forward
 # ---------------------------------------------------------------------------
 
+def _flash_unmasked(q, k, v):
+    """Unmasked attention via the Pallas TPU flash kernel.
+
+    q: (B, Sq, H, D) with Sq % 128 == 0; k/v: (B, Sk, H, D), any Sk (padded
+    to a lane multiple with segment-masked dummy keys). Avoids materializing
+    the (H, Sq, Sk) logits in HBM — at the mix decoder's (1, 2056, 12, 64)
+    joint-attention shape the logits round-trip ~0.4 GB/block through HBM,
+    which dominates the block (measured, tools/jobs/023-025).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention,
+    )
+
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    # pad to multiples of 512 so block_q/block_k can be 512: with 128-sized
+    # kv blocks (forced when padded length is 17*128) the kernel ran 2x
+    # SLOWER than the einsum path; at 512 blocks it is ~3x faster than
+    # einsum on (1, 2056, 12, 64) (tools/jobs/029_flash_tuned)
+    pad_q = (-Sq) % 512
+    pad_k = (-Sk) % 512
+    if pad_q or pad_k:
+        # padded queries and keys share segment id 1, so padded rows softmax
+        # over the dummy keys (finite forward, zero cotangent) instead of an
+        # empty set (NaN stats would poison the backward's dk/dv sums)
+        def padded(x, n):
+            return jnp.concatenate(
+                [x, jnp.zeros((B, n, H, D), x.dtype)], axis=1)
+
+        def seg_ids(s, n):
+            return jnp.concatenate(
+                [jnp.zeros((B, s), jnp.int32), jnp.ones((B, n), jnp.int32)],
+                axis=1)
+
+        seg = SegmentIds(q=seg_ids(Sq, pad_q), kv=seg_ids(Sk, pad_k))
+        q = padded(q, pad_q)
+        k = padded(k, pad_k)
+        v = padded(v, pad_k)
+    else:
+        seg = None
+    bq = min(512, Sq + pad_q)
+    bk = min(512, Sk + pad_k)
+    bs = BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+        block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
+    out = flash_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), segment_ids=seg,
+        sm_scale=1.0 / math.sqrt(D), block_sizes=bs,
+    )
+    return out.transpose(0, 2, 1, 3)[:, :Sq]
+
+
+def _use_flash(cfg) -> bool:
+    return cfg.use_flash_attention and jax.default_backend() == "tpu"
+
+
 def _split_qkv(qkv, n_heads):
     *lead, three_c = qkv.shape
     c = three_c // 3
@@ -293,7 +357,11 @@ def _dec_block_apply(p, img, cam, cfg: VicaNetConfig, tables, dtype):
     k_f = jnp.concatenate([k_c[:, :, None], k_i], axis=2).reshape(B, T * (N + 1), H, -1)
     v_f = jnp.concatenate([v_c[:, :, None], v_i], axis=2).reshape(B, T * (N + 1), H, -1)
 
-    img_a = sdpa(q_i.reshape(B, T * N, H, -1), k_f, v_f).reshape(B, T, N, C)
+    q_if = q_i.reshape(B, T * N, H, -1)
+    if _use_flash(cfg):
+        img_a = _flash_unmasked(q_if, k_f, v_f).reshape(B, T, N, C)
+    else:
+        img_a = sdpa(q_if, k_f, v_f).reshape(B, T, N, C)
     cam_a = sdpa(q_c, k_f, v_f, mask=cam_mask[None, None] if cam_mask is not None else None)
     cam_a = cam_a.reshape(B, T, C)
 

@@ -27,6 +27,12 @@ class RasterizeConfig:
     max_per_tile: int = 512      # front-most splats kept per tile
     chunk: int = 256             # compositing chunk (matmul G dim)
     tile_group: int = 64         # tiles composited together per map step
+    # 32-byte packed payload rows for the binning gather. In microbenchmarks
+    # 32-byte rows gather ~2.7x faster than 64-byte f32 rows, but in the full
+    # render XLA's fusion already hides the difference (measured equal,
+    # tools/jobs/022), so the exact-f32 path stays the default; the packed
+    # path (alpha/color rounded to bf16) remains available and tested.
+    packed_gather: bool = False
     # "pallas": fused per-tile kernel with early termination (forward; the
     # backward rematerializes through the XLA path). "xla": pure-XLA matmul
     # compositing. Pallas requires a *static* background color (a tuple).
@@ -50,7 +56,8 @@ def render_view(
         means, covariances, harmonics, opacities, viewmat, intrinsics,
         image_shape, sh_degree, near=near,
     )
-    bins = bin_splats(splats, image_shape, cfg.tile_px, cfg.dup_hw, cfg.max_per_tile)
+    bins = bin_splats(splats, image_shape, cfg.tile_px, cfg.dup_hw,
+                      cfg.max_per_tile, packed_gather=cfg.packed_gather)
     if cfg.backend == "pallas":
         from .pallas_composite import composite_tiles_pallas
 

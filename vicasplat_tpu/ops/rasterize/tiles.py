@@ -59,12 +59,99 @@ def pack_payload(splats: Splats) -> jnp.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# packed row gather
+#
+# The (tiles*K)-row payload gather is ROW-ISSUE bound on TPU, not bandwidth
+# bound: gathering 131k rows costs ~2.7 ms with (16,)-f32 rows but ~1.0 ms
+# with 32-byte rows, independent of element count (measured in
+# tools/jobs/016_binning_variants). So the hot path packs each splat into
+# EIGHT f32 words — mx, my, conic a/b/c, depth exact; (alpha,r) and (g,b) as
+# bitcast bf16 pairs — gathers the (N, 8) table, and unpacks back to the
+# 16-column payload layout. Only alpha and color pay bf16 rounding (~0.4%
+# relative, ~0.004 absolute on [0,1] colors).
+#
+# The pack/unpack goes through integer bitcasts, which have no VJP, so the
+# whole pack->gather->unpack is one custom_vjp whose backward is the exact
+# adjoint of the plain f32 row gather (a row scatter-add) — gradients are
+# identical to the unpacked path up to the forward's bf16 rounding.
+# ---------------------------------------------------------------------------
+
+def _pack2(a, b):
+    """Two f32 -> one f32 word holding (bf16(a) << 16) | bf16(b)."""
+    ha = jax.lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    hb = jax.lax.bitcast_convert_type(
+        b.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type((ha << 16) | hb, jnp.float32)
+
+
+def _unpack2(w):
+    u = jax.lax.bitcast_convert_type(w, jnp.uint32)
+    a = jax.lax.bitcast_convert_type(
+        (u >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+    b = jax.lax.bitcast_convert_type(
+        (u & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    return a, b
+
+
+def _pack_words(payload: jnp.ndarray) -> jnp.ndarray:
+    """(N, 16) f32 payload -> (N, 8) f32 words (32-byte gather rows)."""
+    p = payload
+    return jnp.stack(
+        [
+            p[:, 0], p[:, 1], p[:, 2], p[:, 3], p[:, 4], p[:, 9],
+            _pack2(p[:, 5], p[:, 6]), _pack2(p[:, 7], p[:, 8]),
+        ],
+        axis=-1,
+    )
+
+
+def _unpack_words(rows: jnp.ndarray) -> jnp.ndarray:
+    """(..., 8) f32 words -> (..., 16) f32 payload layout."""
+    alpha, r = _unpack2(rows[..., 6])
+    g, b = _unpack2(rows[..., 7])
+    pad = jnp.zeros_like(rows[..., 0])
+    return jnp.stack(
+        [
+            rows[..., 0], rows[..., 1], rows[..., 2], rows[..., 3],
+            rows[..., 4], alpha, r, g, b, rows[..., 5],
+            pad, pad, pad, pad, pad, pad,
+        ],
+        axis=-1,
+    )
+
+
+@jax.custom_vjp
+def packed_row_gather(payload: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """payload (N, 16) f32, ids (T, K) int32 -> (T, K, 16) f32 rows."""
+    return _unpack_words(_pack_words(payload)[ids])
+
+
+def _prg_fwd(payload, ids):
+    return packed_row_gather(payload, ids), (ids, payload.shape[0])
+
+
+def _prg_bwd(res, g):
+    ids, n = res
+    c = g.shape[-1]
+    gp = jnp.zeros((n, c), g.dtype).at[ids.reshape(-1)].add(
+        g.reshape(-1, c), mode="drop"
+    )
+    return gp, jnp.zeros(ids.shape, jax.dtypes.float0)
+
+
+packed_row_gather.defvjp(_prg_fwd, _prg_bwd)
+
+
 def bin_splats(
     splats: Splats,
     image_shape: tuple,
     tile_px: int,
     dup_hw: tuple,
     max_per_tile: int,
+    packed_gather: bool = True,
 ) -> TileBins:
     H, W = image_shape
     th = -(-H // tile_px)
@@ -135,7 +222,11 @@ def bin_splats(
     slots = jnp.minimum(slots, n * KH * KW - 1)
     ids = sorted_idx[slots]  # (num_tiles, K)
 
-    payload = pack_payload(splats)[ids]  # row gather: (num_tiles, K, 16)
+    table = pack_payload(splats)  # (N, 16) f32
+    if packed_gather:
+        payload = packed_row_gather(table, ids)  # 32-byte-row gather (~2.7x)
+    else:
+        payload = table[ids]  # exact f32 row gather: (num_tiles, K, 16)
     payload = payload.at[..., 5].multiply(slot_valid.astype(jnp.float32))
     return TileBins(payload=payload)
 

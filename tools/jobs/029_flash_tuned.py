@@ -1,0 +1,72 @@
+"""Tuned flash: 512-multiple padding, explicit BlockSizes, isolated numerics."""
+import sys
+for m in [k for k in sys.modules if k.startswith("vicasplat_tpu") or k == "benchlib"]:
+    del sys.modules[m]
+sys.path.insert(0, "/root/repo/tools")
+
+import math
+import functools
+import jax
+import jax.numpy as jnp
+from benchlib import device_time
+from jax.experimental.pallas.ops.tpu.flash_attention import (
+    SegmentIds, flash_attention, BlockSizes,
+)
+
+B, H, Sq, Sk, D = 1, 12, 2056, 2056, 64
+PAD = 2560
+ks = jax.random.split(jax.random.PRNGKey(0), 3)
+q = jax.random.normal(ks[0], (B, Sq, H, D), jnp.bfloat16)
+k = jax.random.normal(ks[1], (B, Sk, H, D), jnp.bfloat16)
+v = jax.random.normal(ks[2], (B, Sk, H, D), jnp.bfloat16)
+
+
+def einsum_attn(q, k, v):
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(D)
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+def flash_pad(q, k, v, pad_to, bq, bk):
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    pq, pk = pad_to - Sq, pad_to - Sk
+
+    def padded(x, n):
+        return jnp.concatenate([x, jnp.zeros((B, n, H, D), x.dtype)], axis=1)
+
+    def seg_ids(s, n):
+        return jnp.concatenate(
+            [jnp.zeros((B, s), jnp.int32), jnp.ones((B, n), jnp.int32)], axis=1)
+
+    seg = SegmentIds(q=seg_ids(Sq, pq), kv=seg_ids(Sk, pk))
+    bs = BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+        block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
+    out = flash_attention(
+        padded(q, pq).transpose(0, 2, 1, 3), padded(k, pk).transpose(0, 2, 1, 3),
+        padded(v, pk).transpose(0, 2, 1, 3), segment_ids=seg,
+        sm_scale=1.0 / math.sqrt(D), block_sizes=bs,
+    )
+    return out.transpose(0, 2, 1, 3)[:, :Sq]
+
+
+ref = jax.jit(einsum_attn)(q, k, v)
+for bq, bk in [(512, 512), (256, 512), (512, 1280), (2560, 2560)]:
+    try:
+        f = jax.jit(functools.partial(flash_pad, pad_to=PAD, bq=bq, bk=bk))
+        out = f(q, k, v)
+        d = float(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max())
+        t = device_time(lambda q, k, v: f(q, k, v), q, k, v, iters=50, base=5, repeats=2)
+        print(f"flash bq={bq} bk={bk}: {t*1e3:.3f} ms  max|d|={d:.2e}")
+    except Exception as e:
+        print(f"flash bq={bq} bk={bk} failed: {type(e).__name__} {str(e)[:150]}")
+
+t = device_time(einsum_attn, q, k, v, iters=50, base=5, repeats=2)
+print(f"einsum: {t*1e3:.3f} ms")
+
+# numerics: is the earlier 0.22 drift from flash or from bf16 12-block chains?
+out = jax.jit(functools.partial(flash_pad, pad_to=PAD, bq=512, bk=512))(q, k, v)
+print("single-call max|d| vs einsum:", float(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max()))

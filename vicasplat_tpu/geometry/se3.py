@@ -71,6 +71,21 @@ def se3_exp(tau: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+def rigid_inverse(m: jnp.ndarray) -> jnp.ndarray:
+    """Analytic inverse of a rigid 4x4 transform: [R^T, -R^T t]. Batched.
+
+    Exact for SE(3) matrices and far cheaper than the batched-LU path
+    jnp.linalg.inv lowers to on TPU.
+    """
+    R = m[..., :3, :3]
+    t = m[..., :3, 3]
+    Rt = jnp.swapaxes(R, -1, -2)
+    ti = -jnp.einsum("...ij,...j->...i", Rt, t)
+    top = jnp.concatenate([Rt, ti[..., None]], axis=-1)
+    bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
 def update_pose(
     cam_trans_delta: jnp.ndarray,
     cam_rot_delta: jnp.ndarray,
@@ -82,9 +97,9 @@ def update_pose(
     src/misc/cam_utils.py:123-149). Batched over leading dims.
     """
     tau = jnp.concatenate([cam_trans_delta, cam_rot_delta], axis=-1)
-    w2c = jnp.linalg.inv(extrinsics)
+    w2c = rigid_inverse(extrinsics)
     new_w2c = se3_exp(tau) @ w2c
-    return jnp.linalg.inv(new_w2c)
+    return rigid_inverse(new_w2c)
 
 
 def camera_normalization(pivot_pose: jnp.ndarray, poses: jnp.ndarray) -> jnp.ndarray:

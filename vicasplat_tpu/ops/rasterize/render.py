@@ -15,7 +15,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ...geometry.se3 import se3_exp
+from ...geometry.se3 import rigid_inverse, se3_exp
 from .projection import project_gaussians
 from .tiles import bin_splats, composite_tiles
 
@@ -94,7 +94,7 @@ def render(
     mapped sequentially (lax.map) to bound binning memory; the per-view body
     is internally batched/MXU-heavy so sequential views lose no utilization.
     """
-    viewmats = jnp.linalg.inv(extrinsics)
+    viewmats = rigid_inverse(extrinsics)
     if cam_rot_delta is not None or cam_trans_delta is not None:
         v = extrinsics.shape[0]
         rot = cam_rot_delta if cam_rot_delta is not None else jnp.zeros((v, 3))
@@ -102,6 +102,11 @@ def render(
         tau = jnp.concatenate([tra, rot], axis=-1)
         viewmats = se3_exp(tau) @ viewmats  # left-multiplied retraction on w2c
 
+    # Views run fully sequential (lax.map), projection INSIDE the body:
+    # batching projection across views (vmap) regressed the 12-view render
+    # 83 -> 99 ms — materializing (V, N) splat arrays in HBM costs more than
+    # the fused-per-view recompute (tools/jobs/035). vmapping the whole body
+    # was 2x slower still (round 1).
     def body(args):
         vm, K = args
         return render_view(

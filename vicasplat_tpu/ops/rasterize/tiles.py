@@ -217,10 +217,19 @@ def bin_splats(
     )
 
     k = jnp.arange(max_per_tile, dtype=jnp.int32)
-    slots = starts[:, None].astype(jnp.int32) + k[None, :]
-    slot_valid = slots < ends[:, None].astype(jnp.int32)
-    slots = jnp.minimum(slots, n * KH * KW - 1)
-    ids = sorted_idx[slots]  # (num_tiles, K)
+    # per-tile front-K ids are CONTIGUOUS runs of sorted_idx — a (K,)-sized
+    # slice per tile, far cheaper than 131k random single-element gathers.
+    # dynamic_slice clamps its start so the window fits; windows shifted back
+    # that way cover positions before the tile's segment, so validity is
+    # checked against the true [starts, ends) range of each position.
+    starts_i = jnp.minimum(starts.astype(jnp.int32), n * KH * KW - max_per_tile)
+    pos = starts_i[:, None] + k[None, :]
+    slot_valid = (pos >= starts[:, None].astype(jnp.int32)) & (
+        pos < ends[:, None].astype(jnp.int32)
+    )
+    ids = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(sorted_idx, s, max_per_tile)
+    )(starts_i)  # (num_tiles, K)
 
     table = pack_payload(splats)  # (N, 16) f32
     if packed_gather:

@@ -186,11 +186,17 @@ def init_vicanet(key, cfg: VicaNetConfig):
 # static tables (positions, rope, masks) — computed at trace time
 # ---------------------------------------------------------------------------
 
-def _spatial_rope_tables(cfg: VicaNetConfig, head_dim: int):
-    """(cos, sin) of shape (n_tokens, head_dim); intrinsic token at (grid, 0)."""
-    pos = rope_lib.grid_positions(cfg.grid, cfg.grid)
+def _spatial_rope_tables(cfg: VicaNetConfig, head_dim: int,
+                         grid_hw: Optional[tuple] = None):
+    """(cos, sin) of shape (n_tokens, head_dim); intrinsic token at (gh, 0).
+
+    grid_hw defaults to the square config grid; rectangular (landscape)
+    inputs pass their own (gh, gw).
+    """
+    gh, gw = grid_hw if grid_hw is not None else (cfg.grid, cfg.grid)
+    pos = rope_lib.grid_positions(gh, gw)
     if cfg.use_intrinsic_embedding:
-        pos = np.concatenate([pos, np.array([[cfg.grid, 0]])], axis=0)
+        pos = np.concatenate([pos, np.array([[gh, 0]])], axis=0)
     return rope_lib.make_rope_2d_tables(pos, head_dim, base=cfg.spatial_rope_base)
 
 
@@ -434,14 +440,19 @@ def vicanet_forward(
     intrinsic token stripped. (parity: reference backbone_vica.py:526-582)
     """
     B, T, Himg, Wimg, _ = images.shape
-    N = cfg.n_tokens
+    # grids derive from the actual input (landscape rectangles supported;
+    # portrait batches are transposed before this — see
+    # vicasplat.transpose_to_landscape)
+    gh, gw = Himg // cfg.patch_size, Wimg // cfg.patch_size
+    n_patches = gh * gw
+    N = n_patches + (1 if cfg.use_intrinsic_embedding else 0)
 
     # --- patch embed (per frame); reshape+matmul form avoids the MXU's
     # 3->128 input-channel padding waste (see layers.conv2d_patchify) ---
     x = images.reshape(B * T, Himg, Wimg, 3)
     x = conv2d_patchify(params["patch_embed"]["proj"], x, cfg.patch_size,
                         dtype=dtype)
-    x = x.reshape(B * T, cfg.n_patches, cfg.enc_embed_dim)
+    x = x.reshape(B * T, n_patches, cfg.enc_embed_dim)
 
     if cfg.use_intrinsic_embedding:
         assert intrinsics is not None, "backbone configured with intrinsic embedding"
@@ -451,7 +462,7 @@ def vicanet_forward(
         x = jnp.concatenate([x, emb], axis=1)
 
     # --- encoder: scan over stacked blocks ---
-    cos_e, sin_e = _spatial_rope_tables(cfg, cfg.enc_head_dim)
+    cos_e, sin_e = _spatial_rope_tables(cfg, cfg.enc_head_dim, (gh, gw))
 
     def enc_step(h, blk):
         return _enc_block_apply(blk, h, cos_e, sin_e, cfg.enc_num_heads, dtype), None
@@ -475,7 +486,7 @@ def vicanet_forward(
         axis=1,
     )
 
-    cos_s, sin_s = _spatial_rope_tables(cfg, cfg.dec_head_dim)
+    cos_s, sin_s = _spatial_rope_tables(cfg, cfg.dec_head_dim, (gh, gw))
     cos_t, sin_t = _temporal_rope_tables(cfg, T)
     cam_mask = (
         camera_blocked_causal_mask(T, N, not cfg.use_intrinsic_embedding)

@@ -173,12 +173,34 @@ def vicasplat_forward(
         intrinsics_3x3 = None
 
     # ---- per-pixel heads (frames folded into batch) ----
+    # Heads run in landscape: portrait batches (H > W) have their token
+    # grids and output maps transposed around the head, like the
+    # reference's transpose_to_landscape (croco/misc.py:71-110) — the
+    # backbone and camera heads stay in the original orientation. Under
+    # jit, orientation is a static property of the traced shape; mixed
+    # batches are split by the data pipeline into one specialization each.
+    gh, gw = H // bb.patch_size, W // bb.patch_size
+    n_patches = gh * gw
+    portrait = H > W
+
+    def _head_grid(tok):
+        tok = tok.reshape(B * T, n_patches, tok.shape[-1])
+        if portrait:
+            tok = jnp.swapaxes(
+                tok.reshape(B * T, gh, gw, -1), 1, 2
+            ).reshape(B * T, n_patches, -1)
+        return tok
+
+    def _head_out(x):
+        """(B*T, h, w, ch) head output -> original orientation."""
+        return jnp.swapaxes(x, 1, 2) if portrait else x
+
     hooks = cfg.dpt_hooks()
-    hook_tokens = [
-        interms[h].reshape(B * T, bb.n_patches, interms[h].shape[-1])
-        for h in hooks
-    ]
-    grid_hw = (bb.grid, bb.grid)
+    hook_tokens = [_head_grid(interms[h]) for h in hooks]
+    grid_hw = (gw, gh) if portrait else (gh, gw)
+    head_images = images.reshape(B * T, H, W, 3)
+    if portrait:
+        head_images = jnp.swapaxes(head_images, 1, 2)
 
     center_cfg = DPTConfig(
         hook_dims=(bb.enc_embed_dim,) + (bb.dec_embed_dim,) * 3,
@@ -189,7 +211,7 @@ def vicasplat_forward(
     if cfg.gs_center_head_type == "dpt":
         center_out = dpt_regression_head(
             params["center_head"], center_cfg, hook_tokens, grid_hw, dtype
-        )  # (B*T, H, W, 3[+1])
+        )  # (B*T, h, w, 3[+1]) in landscape orientation
     else:
         from .heads import linear_head
 
@@ -197,6 +219,7 @@ def vicasplat_forward(
             params["center_head"], hook_tokens[-1], grid_hw, bb.patch_size,
             center_cfg.num_channels, dtype,
         )
+    center_out = _head_out(center_out)
     gs_centers = postprocess_pts3d_exp(center_out[..., :3]).reshape(B, T, H, W, 3)
     conf = (
         postprocess_conf_exp(center_out[..., 3]).reshape(B, T, H, W)
@@ -232,17 +255,17 @@ def vicasplat_forward(
         use_input_merger=True,
     )
     if cfg.gs_param_head_type in ("dpt", "dpt_gs"):
-        gs_params_out = dpt_gs_head(
+        gs_params_out = _head_out(dpt_gs_head(
             params["gaussian_param_head"], gs_cfg, hook_tokens, grid_hw,
-            images.reshape(B * T, H, W, 3), dtype,
-        ).reshape(B, T, H, W, -1)
+            head_images, dtype,
+        )).reshape(B, T, H, W, -1)
     else:
         from .heads import linear_head
 
-        gs_params_out = linear_head(
+        gs_params_out = _head_out(linear_head(
             params["gaussian_param_head"], hook_tokens[-1], grid_hw,
             bb.patch_size, gs_cfg.num_channels, dtype,
-        ).reshape(B, T, H, W, -1)
+        )).reshape(B, T, H, W, -1)
 
     raw_gaussians = jnp.concatenate(
         [gs_centers, gs_params_out.astype(jnp.float32)], axis=-1

@@ -132,6 +132,19 @@ def main():
     with open(out_dir / "transforms.json", "w") as fjson:
         json.dump(transforms, fjson, indent=2)
 
+    # colored-centers + camera-frusta GLB (reference demo.py:135-160; no
+    # trimesh here, visualization/glb.py writes the container directly)
+    from vicasplat_tpu.visualization.glb import write_glb
+
+    write_glb(
+        out_dir / "xyz_and_camera.glb",
+        np.asarray(out["gaussian_centers"]).reshape(-1, 3),
+        np.asarray(batch["image"]).reshape(-1, 3) * 0.5 + 0.5,
+        camera_poses=poses,
+        focal=float(K[0, 0]),
+        cam_size=0.05,
+    )
+
     # interpolated trajectory video
     traj = interpolate_trajectory(jnp.asarray(poses), args.steps_per_segment)
     V = traj.shape[0]
@@ -143,7 +156,7 @@ def main():
     )
     save_video(np.asarray(rendered.color[0]), out_dir / "render.mp4")
     print(f"wrote {out_dir}/gaussians.ply ({n_kept} splats), transforms.json, "
-          f"render.mp4 ({V} frames)")
+          f"xyz_and_camera.glb, render.mp4 ({V} frames)")
 
 
 if __name__ == "__main__":

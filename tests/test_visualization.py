@@ -37,3 +37,27 @@ class TestGLBExport:
         write_glb(path, pts, cols)
         g = read_glb_json(path)
         assert len(g["meshes"]) == 1
+
+
+class TestViewerServer:
+    def test_serves_page_and_scene(self, tmp_path):
+        import urllib.request
+
+        import numpy as np
+        from vicasplat_tpu.visualization.glb import write_glb
+        from vicasplat_tpu.visualization.viewer_server import serve_scene
+
+        glb = tmp_path / "s.glb"
+        write_glb(glb, np.zeros((5, 3), np.float32), np.ones((5, 3)) * 0.5)
+        srv = serve_scene(glb, port=18733, block=False)
+        try:
+            html = urllib.request.urlopen(
+                "http://127.0.0.1:18733/", timeout=5).read().decode()
+            assert "loadGLB" in html and "webgl" in html
+            data = urllib.request.urlopen(
+                "http://127.0.0.1:18733/scene.glb", timeout=5).read()
+            assert data[:4] == b"glTF"
+            assert len(data) == glb.stat().st_size
+        finally:
+            srv.shutdown()
+            srv.server_close()

@@ -25,7 +25,8 @@ JOBS.mkdir(exist_ok=True)
 print("worker ready:", jax.devices(), flush=True)
 (JOBS / ".ready").write_text("ready")
 
-shared = {"jax": jax}
+import gc
+
 while True:
     for job in sorted(JOBS.glob("*.py")):
         out_path = job.with_suffix(".out")
@@ -35,12 +36,19 @@ while True:
         t0 = time.time()
         try:
             code = job.read_text()
+            # fresh namespace per job: a shared dict keeps every job's
+            # arrays alive (a crashed 578M-param training job left ~9 GB of
+            # HBM pinned and OOM'd everything after it)
+            ns = {"jax": jax}
             with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(buf):
-                exec(compile(code, str(job), "exec"), shared)
+                exec(compile(code, str(job), "exec"), ns)
             status = "ok"
         except Exception:
             buf.write(traceback.format_exc())
             status = "error"
+        finally:
+            ns = None
+            gc.collect()
         out_path.write_text(
             buf.getvalue() + f"\n[{status} in {time.time() - t0:.1f}s]\n"
         )

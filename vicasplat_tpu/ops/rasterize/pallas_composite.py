@@ -19,9 +19,15 @@ intermediates round-trip HBM. This kernel keeps everything in VMEM:
     matmul trick from the XLA path (MXU work), evaluated per tile as a
     batched (P, G) x (G, G) dot.
 
-v1 of this kernel (one tile per grid step, chunk axis in the grid) lost 15x
-to XLA: (1, G, 16) blocks thrashed the pipeline. Multi-tile VMEM-resident
-blocks fix that.
+STATUS (round 2, measured with honest in-jit timing): this kernel remains
+EXPERIMENTAL and the XLA path is production. At (256 tiles, K=512) the XLA
+matmul composite runs 0.79 ms/view; this kernel measured 90-100 ms/view
+(chunk 64/128) — the per-tile (P, G) ops appear to hit a Mosaic slow path —
+and straight-line/fori ablations (tools/jobs/038) wedged the TPU runtime
+outright (the worker had to be killed). v1 (one tile per grid step, chunk
+axis in the grid) lost 15x to XLA for the same reason. The composite is
+<12% of render time, so further kernel work is parked; the binning sort is
+the floor.
 
 The backward rematerializes through the (numerically identical) XLA path via
 custom_vjp, so training gradients are unchanged while inference gets the

@@ -31,10 +31,21 @@ class Benchmarker:
                 self.execution_times[tag].append(elapsed / num_calls)
 
     def time_fn(self, tag: str, fn, *args, **kwargs):
-        """Time a jax computation to completion (block_until_ready)."""
+        """Time a jax computation to completion.
+
+        On the axon backend block_until_ready (and single-element pulls)
+        return before execution finishes (measured: 433 ms of work still in
+        flight — tools/jobs/013_timing_diag), so completion is forced with a
+        full device_get of the first output leaf.
+        """
+        import numpy as np
+
         start = time.perf_counter()
         out = fn(*args, **kwargs)
         jax.block_until_ready(out)
+        leaves = jax.tree.leaves(out)
+        if leaves:
+            np.asarray(jax.device_get(leaves[0]))
         self.execution_times[tag].append(time.perf_counter() - start)
         return out
 

@@ -67,3 +67,51 @@ class TestMesh:
             xs = shard_batch(mesh, x)
             g = jax.jit(jax.grad(loss))(wf, xs)
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
+
+
+class TestTensorParallel:
+    """Megatron-style TP over a ("data","model") mesh: parameter shardings
+    alone (XLA SPMD propagation) must reproduce the replicated forward."""
+
+    def _setup(self):
+        import vicasplat_tpu.models.vicanet as VN
+        from vicasplat_tpu.parallel.tp import make_mesh_2d, shard_params_tp
+
+        bb = VN.VicaNetConfig(
+            img_size=32, patch_size=16, enc_embed_dim=64, enc_depth=2,
+            enc_num_heads=4, dec_embed_dim=48, dec_depth=2, dec_num_heads=4,
+            use_flash_attention=False,
+        )
+        params = VN.init_vicanet(jax.random.PRNGKey(0), bb)
+        mesh = make_mesh_2d(2, 4)
+        return VN, bb, params, mesh, shard_params_tp
+
+    def test_tp_sharding_placement(self):
+        VN, bb, params, mesh, shard_params_tp = self._setup()
+        sp = shard_params_tp(mesh, params)
+        qkv = sp["enc_blocks"]["attn"]["qkv"]["w"]       # (L, 64, 192)
+        assert qkv.addressable_shards[0].data.shape[-1] == 192 // 4
+        proj = sp["enc_blocks"]["attn"]["proj"]["w"]     # (L, 64, 64)
+        assert proj.addressable_shards[0].data.shape[-2] == 64 // 4
+        assert sp["enc_norm"]["scale"].sharding.is_fully_replicated
+
+    def test_tp_forward_matches_replicated(self):
+        VN, bb, params, mesh, shard_params_tp = self._setup()
+        B, T, S = 1, 2, 32
+        imgs = jax.random.uniform(jax.random.PRNGKey(1), (B, T, S, S, 3)) * 2 - 1
+        K = jnp.broadcast_to(
+            jnp.array([[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]]),
+            (B, T, 3, 3))
+
+        ref = jax.jit(
+            lambda p: VN.vicanet_forward(p, bb, imgs, K, dtype=jnp.float32)[0]
+        )(params)
+
+        sp = shard_params_tp(mesh, params)
+        with mesh:
+            out = jax.jit(
+                lambda p: VN.vicanet_forward(p, bb, imgs, K, dtype=jnp.float32)[0]
+            )(sp)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4
+        )

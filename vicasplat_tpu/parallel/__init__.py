@@ -1,1 +1,2 @@
 from .mesh import make_mesh, replicate, shard_batch  # noqa: F401
+from .tp import make_mesh_2d, shard_params_tp  # noqa: F401

@@ -364,3 +364,41 @@ class TestLowChannelConvForms:
         a = layers.conv2d(p, x, stride=16, padding="VALID")
         b = layers.conv2d_patchify(p, x, 16)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestResamplePatchEmbed:
+    """FlexiViT patch-embed resampling (reference weight_modify.py:13-112):
+    patchify-conv with the resampled kernel on a resized image approximates
+    the original patchify-conv."""
+
+    def test_identity_at_same_size(self):
+        from vicasplat_tpu.utils.ckpt_convert import resample_patch_embed
+
+        k = np.random.default_rng(0).normal(size=(16, 16, 3, 8)).astype(np.float32)
+        np.testing.assert_array_equal(resample_patch_embed(k, (16, 16)), k)
+
+    def test_flexivit_property(self):
+        import torch
+        import torch.nn.functional as F
+
+        from vicasplat_tpu.utils.ckpt_convert import resample_patch_embed
+
+        rng = np.random.default_rng(1)
+        k8 = rng.normal(size=(8, 8, 3, 4)).astype(np.float32)
+        k16 = resample_patch_embed(k8, (16, 16))
+        img = rng.normal(size=(1, 3, 24, 24)).astype(np.float32)  # 3x3 patches
+        big = F.interpolate(torch.from_numpy(img), size=(48, 48),
+                            mode="bicubic", antialias=True).numpy()
+
+        def patchify(x, k):
+            p = k.shape[0]
+            t = torch.conv2d(torch.from_numpy(x),
+                             torch.from_numpy(k.transpose(3, 2, 0, 1)),
+                             stride=p)
+            return t.numpy()
+
+        a = patchify(img, k8)
+        b = patchify(big, k16)
+        # bicubic resize is approximately inverted; tokens should correlate
+        corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+        assert corr > 0.98, corr

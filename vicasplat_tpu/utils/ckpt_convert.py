@@ -135,10 +135,53 @@ def _dpt(sd, p, head_type):
     return out
 
 
-def convert_state_dict(sd: Dict[str, np.ndarray]) -> dict:
+def resample_patch_embed(kernel: np.ndarray, new_hw: tuple) -> np.ndarray:
+    """FlexiViT patch-embed kernel resampling (reference
+    src/misc/weight_modify.py:13-112, used by checkpoint_filter_fn when the
+    checkpoint's patch size differs from the model's).
+
+    kernel: (kh, kw, C, O) HWIO. Builds the resize operator B column by
+    column (resize of each basis patch) and applies pinv(B)^T so that a
+    conv with the resampled kernel on a resized image approximates the
+    original conv — the exact pseudo-inverse construction of FlexiViT.
+    """
+    kh, kw, c, o = kernel.shape
+    nh, nw = new_hw
+    if (kh, kw) == (nh, nw):
+        return kernel
+
+    try:
+        import torch
+        import torch.nn.functional as F
+
+        def resize(x):  # (kh, kw) -> (nh, nw), bicubic+antialias like torch
+            t = torch.from_numpy(np.asarray(x, np.float32))[None, None]
+            return F.interpolate(
+                t, size=(nh, nw), mode="bicubic", antialias=True
+            )[0, 0].numpy()
+    except ImportError:  # pragma: no cover - torch is present in this env
+        import jax
+        import jax.numpy as jnp
+
+        def resize(x):
+            return np.asarray(jax.image.resize(
+                jnp.asarray(x, jnp.float32), (nh, nw), method="cubic"))
+
+    basis = np.eye(kh * kw, dtype=np.float32)
+    B = np.stack(
+        [resize(b.reshape(kh, kw)).reshape(-1) for b in basis], axis=1
+    )  # (nh*nw, kh*kw)
+    P = np.linalg.pinv(B.T)  # (nh*nw, kh*kw)
+    flat = kernel.reshape(kh * kw, c * o)
+    return (P @ flat).reshape(nh, nw, c, o).astype(kernel.dtype)
+
+
+def convert_state_dict(sd: Dict[str, np.ndarray], patch_size: int = None) -> dict:
     """Reference VicaSplat state_dict (already 'encoder.'-stripped or not)
     -> params pytree. Keys follow reference module names
-    (src/model/encoder/vicasplat.py + backbone_vica.py)."""
+    (src/model/encoder/vicasplat.py + backbone_vica.py). When `patch_size`
+    is given and differs from the checkpoint's, the patch-embed kernel is
+    FlexiViT-resampled (reference weight_modify.checkpoint_filter_fn)."""
     # strip Lightning's 'encoder.' prefix if present
     if any(k.startswith("encoder.") for k in sd):
         sd = {k[len("encoder."):]: v for k, v in sd.items() if k.startswith("encoder.")}
@@ -154,9 +197,13 @@ def convert_state_dict(sd: Dict[str, np.ndarray]) -> dict:
         if (m := re.match(r"backbone\.dec_blocks\.(\d+)\.", k))
     )
 
+    pe = _conv(sd, "backbone.patch_embed.proj")
+    if patch_size is not None:
+        pe["w"] = resample_patch_embed(pe["w"], (patch_size, patch_size))
+
     params = {
         "backbone": {
-            "patch_embed": {"proj": _conv(sd, "backbone.patch_embed.proj")},
+            "patch_embed": {"proj": pe},
             "enc_blocks": _stack(
                 [_enc_block(sd, f"backbone.enc_blocks.{i}") for i in range(n_enc)]
             ),

@@ -1,0 +1,67 @@
+"""Serving engine: shape-cached jitted reconstruction, render, HTTP endpoint."""
+import io
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.test_model import tiny_cfg
+from vicasplat_tpu.serving import InferenceEngine, serve
+
+
+def _inputs(B=1, T=3, size=32):
+    k = jax.random.PRNGKey(0)
+    images = jax.random.uniform(k, (B, T, size, size, 3))
+    K = jnp.broadcast_to(
+        jnp.array([[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]]),
+        (B, T, 3, 3))
+    return images, K
+
+
+class TestEngine:
+    def test_reconstruct_and_render(self):
+        cfg = tiny_cfg()
+        eng = InferenceEngine(cfg, dtype=jnp.float32)
+        images, K = _inputs()
+        scene = eng.reconstruct(images, K)
+        assert scene.poses.shape == (1, 3, 4, 4)
+        np.testing.assert_allclose(
+            np.asarray(scene.poses[0, 0]), np.eye(4), atol=1e-6)
+
+        ext = jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4))
+        out = eng.render(scene, ext, K[:, :2], (32, 32))
+        assert out.color.shape == (1, 2, 32, 32, 3)
+        assert bool(jnp.isfinite(out.color).all())
+
+    def test_program_cache_reuse(self):
+        cfg = tiny_cfg()
+        eng = InferenceEngine(cfg, dtype=jnp.float32)
+        images, K = _inputs()
+        f1 = eng._reconstruct_fn(tuple(images.shape))
+        f2 = eng._reconstruct_fn(tuple(images.shape))
+        assert f1 is f2
+
+
+class TestHTTP:
+    def test_reconstruct_endpoint(self):
+        cfg = tiny_cfg()
+        eng = InferenceEngine(cfg, dtype=jnp.float32)
+        srv = serve(eng, port=18744, block=False)
+        try:
+            images, K = _inputs()
+            buf = io.BytesIO()
+            np.savez(buf, images=np.asarray(images, np.float32),
+                     intrinsics=np.asarray(K, np.float32))
+            req = urllib.request.Request(
+                "http://127.0.0.1:18744/reconstruct", data=buf.getvalue(),
+                method="POST")
+            resp = urllib.request.urlopen(req, timeout=60)
+            import json
+            body = json.loads(resp.read())
+            assert body["num_gaussians"] == 3 * 32 * 32
+            assert len(body["poses"][0]) == 3
+            assert body["latency_s"] > 0
+        finally:
+            srv.shutdown()
+            srv.server_close()

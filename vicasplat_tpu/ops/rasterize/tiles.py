@@ -318,7 +318,11 @@ def composite_tiles(
     num_tiles = th * tw
     pix = _tile_pixel_centers(image_shape, tile_px)
 
-    assert num_tiles % tile_group == 0, "tile count must divide into groups"
+    # clamp the grouping to a divisor of the tile count (small images have
+    # fewer tiles than the default group size)
+    tile_group = min(tile_group, num_tiles)
+    while num_tiles % tile_group:
+        tile_group -= 1
     n_groups = num_tiles // tile_group
 
     def group_fn(gi):

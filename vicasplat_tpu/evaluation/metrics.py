@@ -54,7 +54,14 @@ def umeyama_alignment(x: np.ndarray, y: np.ndarray, with_scale: bool = True):
     if np.linalg.det(U) * np.linalg.det(Vt) < 0:
         S[2, 2] = -1
     R = U @ S @ Vt
-    s = float(np.trace(np.diag(d) @ S) / sigma2) if with_scale else 1.0
+    # degenerate (zero-variance) trajectories: scale is unidentifiable,
+    # fall back to 1 instead of propagating NaN (evo raises here; returning
+    # identity alignment keeps batch evaluation going on static scenes)
+    s = (
+        float(np.trace(np.diag(d) @ S) / sigma2)
+        if with_scale and sigma2 > 1e-12
+        else 1.0
+    )
     t = mean_y - s * R @ mean_x
     return R, t.squeeze(-1), s
 

@@ -275,3 +275,49 @@ class TestMultiWorker:
         assert len(batches) == 3  # 6 scenes, batch 2, drop_last
         for b in batches:
             assert b["context"]["image"].shape[0] == 2
+
+
+class TestColmapLoader:
+    """Round-trip a synthetic COLMAP text export (the exact format COLMAP's
+    model_converter writes) through data/colmap.py."""
+
+    def _write_model(self, d):
+        import numpy as np
+
+        # two cameras: PINHOLE + SIMPLE_PINHOLE
+        (d / "cameras.txt").write_text(
+            "# Camera list with one line of data per camera\n"
+            "1 PINHOLE 640 480 500.0 510.0 320.0 240.0\n"
+            "2 SIMPLE_PINHOLE 640 480 450.0 320.0 240.0\n"
+        )
+        # known pose: 90-degree rotation about z + translation
+        qvec = np.array([np.cos(np.pi / 4), 0.0, 0.0, np.sin(np.pi / 4)])
+        lines = [
+            "# Image list with two lines of data per image",
+            f"1 {qvec[0]} {qvec[1]} {qvec[2]} {qvec[3]} 1.0 2.0 3.0 1 b.jpg",
+            "100.0 200.0 -1",
+            "2 1 0 0 0 0 0 0 2 a.jpg",
+            "",
+        ]
+        (d / "images.txt").write_text("\n".join(lines) + "\n")
+
+    def test_load_scene(self, tmp_path):
+        import numpy as np
+
+        from vicasplat_tpu.data.colmap import load_colmap_scene
+
+        self._write_model(tmp_path)
+        ext, K, names = load_colmap_scene(tmp_path)
+        assert names == ["a.jpg", "b.jpg"]  # sorted by name
+        assert ext.shape == (2, 4, 4) and K.shape == (2, 3, 3)
+        # a.jpg: identity pose, SIMPLE_PINHOLE fx=fy=450
+        np.testing.assert_allclose(ext[0], np.eye(4), atol=1e-6)
+        np.testing.assert_allclose(K[0][0, 0], 450.0 / 640, atol=1e-6)
+        np.testing.assert_allclose(K[0][1, 1], 450.0 / 480, atol=1e-6)
+        # b.jpg: c2w inverse of the 90-deg-z w2c with t=(1,2,3)
+        Rz = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], float)
+        w2c = np.eye(4)
+        w2c[:3, :3] = Rz
+        w2c[:3, 3] = [1.0, 2.0, 3.0]
+        np.testing.assert_allclose(ext[1], np.linalg.inv(w2c), atol=1e-5)
+        np.testing.assert_allclose(K[1][0, 2], 0.5, atol=1e-6)

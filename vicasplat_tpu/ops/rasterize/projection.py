@@ -22,7 +22,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..sh import sh_basis
+from ..sh import sh_basis_cols
 
 
 class Splats(NamedTuple):
@@ -138,9 +138,13 @@ def project_gaussians(
     dz = wz - campos[2]
     inv_n = 1.0 / jnp.maximum(jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-8)
     dirs = jnp.stack([dx * inv_n, dy * inv_n, dz * inv_n], axis=-1)
-    basis = sh_basis(dirs, sh_degree)  # (N, d)
+    basis = jnp.stack(sh_basis_cols(dirs, sh_degree), axis=-1)  # (N, d)
     d = basis.shape[-1]
-    # contraction as d scalar-weighted accumulations per channel
+    # contraction as d scalar-weighted accumulations per channel.
+    # (A transposed-SoA variant — 75 scalar-FMA passes over (N,) vectors
+    # with a hoisted (d, 3, N) table — measured 1.5x faster in isolation
+    # but regressed the full 12-view render by 4.5 ms; XLA's fusion of the
+    # einsum in context beats the hand-SoA form. tools/jobs/053-054.)
     color = jnp.einsum("ncd,nd->nc", harmonics[..., :d], basis)
     color = jnp.maximum(color + 0.5, 0.0)
 

@@ -28,8 +28,12 @@ _C4 = (2.5033429417967046, -1.7701307697799304, 0.9461746957575601,
        0.47308734787878004, -1.7701307697799304, 0.6258357354491761)
 
 
-def sh_basis(dirs: jnp.ndarray, degree: int) -> jnp.ndarray:
-    """dirs: (..., 3) unit vectors -> (..., (degree+1)^2) basis values."""
+def sh_basis_cols(dirs: jnp.ndarray, degree: int) -> list:
+    """dirs: (..., 3) unit vectors -> list of (degree+1)^2 arrays shaped
+    like dirs[..., 0]. The un-stacked (SoA) form: a stacked (N, 25) basis
+    puts a 25-wide minor dim into 128-lane tiles; consuming the columns as
+    flat (N,) vectors measures ~1.5x faster for the color contraction
+    (tools/jobs/053_sh_layout)."""
     x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
     out = [jnp.full(x.shape, _C0, dirs.dtype)]
     if degree >= 1:
@@ -68,7 +72,12 @@ def sh_basis(dirs: jnp.ndarray, degree: int) -> jnp.ndarray:
         ]
     if degree >= 5:
         raise NotImplementedError("SH degree > 4")
-    return jnp.stack(out, axis=-1)
+    return out
+
+
+def sh_basis(dirs: jnp.ndarray, degree: int) -> jnp.ndarray:
+    """dirs: (..., 3) unit vectors -> (..., (degree+1)^2) basis values."""
+    return jnp.stack(sh_basis_cols(dirs, degree), axis=-1)
 
 
 def eval_sh_colors(

@@ -359,3 +359,31 @@ class TestPackedGather:
             scale = np.abs(np.asarray(ge)).max() + 1e-8
             assert np.quantile(err, 0.95) <= 0.05 * scale + 2e-3
             assert err.max() <= 0.3 * scale
+
+
+class TestCoverageStats:
+    def test_reports_truncation_and_overflow(self):
+        from vicasplat_tpu.ops.rasterize.render import coverage_stats
+
+        means, covs, sh, opac = make_scene(jax.random.PRNGKey(5), n=64)
+        # big splats + tiny dup window -> truncation must be reported
+        stats = jax.jit(
+            lambda: coverage_stats(
+                means, covs * 9.0, sh, opac, jnp.eye(4), CAM["intrinsics"][0],
+                (32, 32), 0,
+                cfg=RasterizeConfig(tile_px=8, dup_hw=(2, 2), max_per_tile=32,
+                                    chunk=32, tile_group=4),
+            )
+        )()
+        assert float(stats["truncated_frac"]) > 0.2
+        # generous window + K -> no truncation, no overflow
+        stats2 = jax.jit(
+            lambda: coverage_stats(
+                means, covs * 0.05, sh, opac, jnp.eye(4),
+                CAM["intrinsics"][0], (32, 32), 0,
+                cfg=RasterizeConfig(tile_px=8, dup_hw=(4, 4), max_per_tile=64,
+                                    chunk=32, tile_group=4),
+            )
+        )()
+        assert float(stats2["truncated_frac"]) == 0.0
+        assert float(stats2["tile_overflow_frac"]) < 0.5

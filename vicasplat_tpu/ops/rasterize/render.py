@@ -73,6 +73,49 @@ def render_view(
     )
 
 
+def coverage_stats(
+    means: jnp.ndarray,
+    covariances: jnp.ndarray,
+    harmonics: jnp.ndarray,
+    opacities: jnp.ndarray,
+    viewmat: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    image_shape: tuple,
+    sh_degree: int,
+    cfg: RasterizeConfig = RasterizeConfig(),
+) -> dict:
+    """Diagnose the static-shape approximations for one view.
+
+    The reference's CUDA rasterizer emits one entry per overlapped tile with
+    no bound; this pipeline caps a splat's duplication window at
+    `cfg.dup_hw` tiles (centered on its 3-sigma rect) and keeps the
+    front-most `cfg.max_per_tile` entries per tile. Returns the fraction of
+    live splats whose 3-sigma rect exceeds the window (`truncated_frac` —
+    raise dup_hw if it is non-negligible) and the fraction of tiles whose
+    entry list overflows K (`tile_overflow_frac` — raise max_per_tile).
+    """
+    from .tiles import bin_splats
+
+    splats = project_gaussians(
+        means, covariances, harmonics, opacities, viewmat, intrinsics,
+        image_shape, sh_degree,
+    )
+    KH, KW = cfg.dup_hw
+    live = splats.radius > 0
+    tiles_w = 2.0 * splats.radius / cfg.tile_px + 1.0  # max tiles spanned
+    truncated = live & ((tiles_w > KW) | (tiles_w > KH))
+    bins = bin_splats(splats, image_shape, cfg.tile_px, cfg.dup_hw,
+                      cfg.max_per_tile, packed_gather=False)
+    occupancy = (bins.payload[..., 5] > 0).sum(axis=1)
+    n_live = jnp.maximum(live.sum(), 1)
+    return {
+        "live_frac": live.mean(),
+        "truncated_frac": truncated.sum() / n_live,
+        "tile_occupancy_mean": occupancy.mean(),
+        "tile_overflow_frac": (occupancy >= cfg.max_per_tile).mean(),
+    }
+
+
 def render(
     means: jnp.ndarray,         # (N, 3)
     covariances: jnp.ndarray,   # (N, 3, 3)

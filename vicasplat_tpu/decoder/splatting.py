@@ -73,11 +73,21 @@ def decoder_forward(
         near = near * scale[:, None]
         far = far * scale[:, None]
 
+    # packed (B, N, 6) covariance from scales/rotations: the (N, 3, 3) form
+    # tiles at ~42x its logical bytes on TPU (projection.cov6_from_scale_rot)
+    from ..ops.rasterize.projection import cov6_from_scale_rot
+
+    B = gaussians.means.shape[0]
+    cov6 = jax.vmap(cov6_from_scale_rot)(gaussians.scales, gaussians.rotations)
+    if cfg.make_scale_invariant:
+        cov6 = cov6 * (scale[:, None, None] ** 2)
+
     def per_example(args):
-        g_means, g_covs, g_sh, g_op, ext, K, rot_d, trans_d = args
+        g_means, g_cov6, g_sh, g_op, ext, K, rot_d, trans_d = args
         return render(
-            g_means, g_covs, g_sh, g_op, ext, K, image_shape, bg, sh_degree,
+            g_means, None, g_sh, g_op, ext, K, image_shape, bg, sh_degree,
             cam_rot_delta=rot_d, cam_trans_delta=trans_d, cfg=cfg.rasterize,
+            cov6=g_cov6,
         )
 
     B, V = extrinsics.shape[:2]
@@ -86,7 +96,7 @@ def decoder_forward(
     color, depth, alpha = jax.lax.map(
         per_example,
         (
-            gaussians.means, gaussians.covariances, gaussians.harmonics,
+            gaussians.means, cov6, gaussians.harmonics,
             gaussians.opacities, extrinsics, intrinsics, rot_d, trans_d,
         ),
     )

@@ -25,6 +25,45 @@ import jax.numpy as jnp
 from ..sh import sh_basis_cols
 
 
+def cov6_from_scale_rot(scales: jnp.ndarray, quats_xyzw: jnp.ndarray,
+                        eps: float = 1e-8) -> jnp.ndarray:
+    """(N, 3) scales + (N, 4) xyzw quats -> packed (N, 6) upper-tri world
+    covariance [s00, s01, s02, s11, s12, s22], fully SoA.
+
+    Sigma = R diag(s^2) R^T computed as scalar FMAs over (N,) vectors —
+    materializing an (N, 3, 3) covariance costs ~42x its logical bytes on
+    TPU ((...,3,3) minor dims pad into (4,128)/(8,128) tiles; the device
+    profile showed ~5.7 ms of cast+copy for the 18 MB tensor,
+    tools/jobs/059). R matches geometry.quaternion.quat_to_matrix exactly
+    (xyzw, 2/(|q|^2+eps) scaling — the reference's gaussians.py:8-30)."""
+    x, y, z, w = (quats_xyzw[:, 0], quats_xyzw[:, 1], quats_xyzw[:, 2],
+                  quats_xyzw[:, 3])
+    two_s = 2.0 / ((quats_xyzw * quats_xyzw).sum(-1) + eps)
+    r00 = 1 - two_s * (y * y + z * z)
+    r01 = two_s * (x * y - z * w)
+    r02 = two_s * (x * z + y * w)
+    r10 = two_s * (x * y + z * w)
+    r11 = 1 - two_s * (x * x + z * z)
+    r12 = two_s * (y * z - x * w)
+    r20 = two_s * (x * z - y * w)
+    r21 = two_s * (y * z + x * w)
+    r22 = 1 - two_s * (x * x + y * y)
+    s0 = scales[:, 0] ** 2
+    s1 = scales[:, 1] ** 2
+    s2 = scales[:, 2] ** 2
+    return jnp.stack(
+        [
+            r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2,
+            r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2,
+            r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2,
+            r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2,
+            r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2,
+            r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2,
+        ],
+        axis=-1,
+    )
+
+
 class Splats(NamedTuple):
     mean2d: jnp.ndarray   # (N, 2) pixel coords
     conic: jnp.ndarray    # (N, 3) upper-tri of inverse 2D covariance (a, b, c)
@@ -45,6 +84,7 @@ def project_gaussians(
     sh_degree: int,
     near: float | jnp.ndarray = 0.2,
     eps2d: float = 0.3,
+    cov6: jnp.ndarray = None,  # (N, 6) packed upper-tri world covariance
 ) -> Splats:
     H, W = image_shape
     fx = intrinsics[0, 0] * W
@@ -79,12 +119,21 @@ def project_gaussians(
     j12 = -fy * ty * inv_z2
 
     # ---- world covariance as 6 (N,) components ----
-    s00 = covariances[:, 0, 0]
-    s01 = covariances[:, 0, 1]
-    s02 = covariances[:, 0, 2]
-    s11 = covariances[:, 1, 1]
-    s12 = covariances[:, 1, 2]
-    s22 = covariances[:, 2, 2]
+    # (N, 3, 3) arrays tile badly on TPU (3-wide trailing dims pad into
+    # (8,128) registers); callers looping over views should extract the
+    # packed (N, 6) upper triangle ONCE and pass it as cov6 — the device
+    # profile showed ~6 ms of per-call layout copies otherwise
+    # (tools/jobs/056).
+    if cov6 is not None:
+        s00, s01, s02 = cov6[:, 0], cov6[:, 1], cov6[:, 2]
+        s11, s12, s22 = cov6[:, 3], cov6[:, 4], cov6[:, 5]
+    else:
+        s00 = covariances[:, 0, 0]
+        s01 = covariances[:, 0, 1]
+        s02 = covariances[:, 0, 2]
+        s11 = covariances[:, 1, 1]
+        s12 = covariances[:, 1, 2]
+        s22 = covariances[:, 2, 2]
 
     def row_sigma(i):
         """(R_i . Sigma) as three (N,) vectors — scalar-coeff FMAs."""

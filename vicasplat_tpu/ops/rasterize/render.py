@@ -51,10 +51,11 @@ def render_view(
     sh_degree: int,
     near: float = 0.2,
     cfg: RasterizeConfig = RasterizeConfig(),
+    cov6: Optional[jnp.ndarray] = None,
 ):
     splats = project_gaussians(
         means, covariances, harmonics, opacities, viewmat, intrinsics,
-        image_shape, sh_degree, near=near,
+        image_shape, sh_degree, near=near, cov6=cov6,
     )
     bins = bin_splats(splats, image_shape, cfg.tile_px, cfg.dup_hw,
                       cfg.max_per_tile, packed_gather=cfg.packed_gather)
@@ -130,6 +131,7 @@ def render(
     cam_rot_delta: Optional[jnp.ndarray] = None,    # (V, 3)
     cam_trans_delta: Optional[jnp.ndarray] = None,  # (V, 3)
     cfg: RasterizeConfig = RasterizeConfig(),
+    cov6: Optional[jnp.ndarray] = None,  # (N, 6) packed world covariance
 ):
     """Render V views of one Gaussian scene.
 
@@ -150,11 +152,23 @@ def render(
     # 83 -> 99 ms — materializing (V, N) splat arrays in HBM costs more than
     # the fused-per-view recompute (tools/jobs/035). vmapping the whole body
     # was 2x slower still (round 1).
+    # view-independent packed covariance, hoisted out of the per-view map
+    # (see project_gaussians cov6); callers with scales/rotations at hand
+    # should pass cov6=cov6_from_scale_rot(...) and never materialize the
+    # badly-tiling (N, 3, 3) form
+    if cov6 is None:
+        cov6 = jnp.stack(
+            [covariances[:, 0, 0], covariances[:, 0, 1], covariances[:, 0, 2],
+             covariances[:, 1, 1], covariances[:, 1, 2], covariances[:, 2, 2]],
+            axis=-1,
+        )
+
     def body(args):
         vm, K = args
         return render_view(
             means, covariances, harmonics, opacities, vm, K,
             image_shape, background, sh_degree, near=near, cfg=cfg,
+            cov6=cov6,
         )
 
     color, depth, alpha = jax.lax.map(body, (viewmats, intrinsics))

@@ -206,7 +206,14 @@ def bin_splats(
     key = jnp.concatenate(keys)  # (kdup * N,)
     gauss_idx = jnp.tile(jnp.arange(n, dtype=jnp.int32), KH * KW)
 
-    sorted_key, sorted_idx = jax.lax.sort((key, gauss_idx), num_keys=1)
+    # is_stable=False: a stable sort makes XLA sort a third (iota) array as
+    # tiebreaker — the device profile showed the 2-operand sort costing
+    # 3.6 ms/view with 3 result arrays (tools/jobs/056). Equal keys are the
+    # same (tile, depth-bucket); their relative order is irrelevant to
+    # compositing, exactly like the reference's unstable CUDA radix pairs.
+    sorted_key, sorted_idx = jax.lax.sort(
+        (key, gauss_idx), num_keys=1, is_stable=False
+    )
 
     tile_starts_keys = jnp.arange(num_tiles, dtype=jnp.uint32) << depth_shift
     starts = jnp.searchsorted(sorted_key, tile_starts_keys, side="left")

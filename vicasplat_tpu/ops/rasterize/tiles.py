@@ -271,7 +271,11 @@ def _composite_group(payload: jnp.ndarray, pix: jnp.ndarray, chunk: int):
     tri = jnp.triu(jnp.ones((chunk, chunk), jnp.float32), k=1)
 
     def chunk_step(carry, idx):
-        log_t, rgb, dep, asum = carry
+        # carry: log-transmittance (T, P) and a FUSED (T, P, 4) rgb+depth
+        # accumulator — accumulating rgb (.., 3) and depth separately makes
+        # XLA carry a 3-wide-trailing array whose adds cost ~5 ms/12 views
+        # in padded (4,128) tiles (device profile, tools/jobs/059)
+        log_t, rgbd, asum = carry
         pl = jax.lax.dynamic_slice_in_dim(payload, idx * chunk, chunk, axis=1)
         mx, my = pl[..., 0], pl[..., 1]
         ca, cb, cc = pl[..., 2], pl[..., 3], pl[..., 4]
@@ -291,23 +295,20 @@ def _composite_group(payload: jnp.ndarray, pix: jnp.ndarray, chunk: int):
         w = jnp.exp(log_t[:, :, None] + prefix) * a  # blending weights
 
         feats = pl[..., 6:10]  # (T, G, 4): rgb + depth
-        acc = jnp.einsum("tpg,tgf->tpf", w, feats)
-        rgb = rgb + acc[..., :3]
-        dep = dep + acc[..., 3]
+        rgbd = rgbd + jnp.einsum("tpg,tgf->tpf", w, feats)
         asum = asum + w.sum(-1)
         log_t = log_t + logom.sum(-1)
-        return (log_t, rgb, dep, asum), None
+        return (log_t, rgbd, asum), None
 
     init = (
         jnp.zeros((T_, P), jnp.float32),
-        jnp.zeros((T_, P, 3), jnp.float32),
-        jnp.zeros((T_, P), jnp.float32),
+        jnp.zeros((T_, P, 4), jnp.float32),
         jnp.zeros((T_, P), jnp.float32),
     )
-    (log_t, rgb, dep, asum), _ = jax.lax.scan(
+    (log_t, rgbd, asum), _ = jax.lax.scan(
         jax.checkpoint(chunk_step), init, jnp.arange(n_chunks)
     )
-    return rgb, dep, asum, jnp.exp(log_t)
+    return rgbd[..., :3], rgbd[..., 3], asum, jnp.exp(log_t)
 
 
 def composite_tiles(

@@ -94,7 +94,8 @@ def distillation_loss(out, teacher_fn, batch, key):
 
 
 def compute_loss(params, cfg: TrainConfig, batch, global_step, lpips_fn=None,
-                 teacher_fn=None, distill_key=None, phase: str = "full"):
+                 teacher_fn=None, distill_key=None, phase: str = "full",
+                 mesh=None, data_axis: str = "data"):
     """batch: {"context": {image (B,T,H,W,3) in [0,1], intrinsics, extrinsics,
     near, far}, "target": {...}}. Images are shimmed to [-1,1] here.
 
@@ -126,15 +127,30 @@ def compute_loss(params, cfg: TrainConfig, batch, global_step, lpips_fn=None,
         mse_val = jnp.float32(1.0)  # psnr log placeholder (no render)
     else:
         h, w = tgt["image"].shape[-3:-1]
-        rendered = decoder_forward(
-            cfg.decoder,
-            out["gaussians"],
-            tgt["extrinsics"],
-            tgt["intrinsics"],
-            tgt["near"],
-            tgt["far"],
-            (h, w),
-        )
+        render_args = (out["gaussians"], tgt["extrinsics"], tgt["intrinsics"],
+                       tgt["near"], tgt["far"])
+
+        def _render(g, ext, K, near, far):
+            return decoder_forward(cfg.decoder, g, ext, K, near, far, (h, w))
+
+        if mesh is not None and mesh.shape.get(data_axis, 1) > 1:
+            # decoder_forward serializes the batch with lax.map (batched
+            # sorts are catastrophic on TPU — see ops/rasterize). GSPMD
+            # cannot partition a loop's iteration axis, so under plain jit
+            # it ALL-GATHERS the Gaussians and renders the full batch on
+            # every device (8x work). shard_map makes the render batch-
+            # local: each device lax.maps over its own shard only.
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            rendered = shard_map(
+                _render, mesh=mesh,
+                in_specs=(P(data_axis),) * len(render_args),
+                out_specs=P(data_axis),
+                check_rep=False,
+            )(*render_args)
+        else:
+            rendered = _render(*render_args)
         losses["mse"] = mse_loss(rendered.color, tgt["image"], cfg.mse)
         if lpips_fn is not None:
             # reference loss_lpips.py:41-46 returns 0 before apply_after_step
@@ -166,13 +182,16 @@ def pick_phase(cfg: TrainConfig, global_step: int, has_teacher: bool) -> str:
 
 
 def make_train_step(cfg: TrainConfig, optimizer: optax.GradientTransformation,
-                    lpips_fn=None, teacher_fn=None):
+                    lpips_fn=None, teacher_fn=None, mesh=None,
+                    data_axis: str = "data"):
+    """mesh: pass the data-parallel jax.sharding.Mesh when the step will run
+    sharded — the render is then shard_map'ed batch-local (see compute_loss)."""
     def train_step(params, opt_state, batch, global_step, phase="full"):
         key = jax.random.fold_in(jax.random.PRNGKey(0), global_step)
         (loss, logs), grads = jax.value_and_grad(
             compute_loss, has_aux=True
         )(params, cfg, batch, global_step, lpips_fn, teacher_fn, key,
-          phase)
+          phase, mesh, data_axis)
         # NaN-grad guard (reference src/main.py:42-47 zeroes NaN grads)
         grads = jax.tree.map(
             lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)), grads

@@ -321,3 +321,30 @@ class TestColmapLoader:
         w2c[:3, 3] = [1.0, 2.0, 3.0]
         np.testing.assert_allclose(ext[1], np.linalg.inv(w2c), atol=1e-5)
         np.testing.assert_allclose(K[1][0, 2], 0.5, atol=1e-6)
+
+
+class TestLoaderConfigSchema:
+    def test_train_batch_size_typed(self):
+        from vicasplat_tpu.data.data_module import DataModule
+
+        dm = DataModule({"re10k": {}}, {"train": {"batch_size": 16}})
+        assert dm.train_batch_size() == 16
+
+    def test_typo_key_raises(self):
+        # a mis-schema'd loader config must raise, not silently default to
+        # batch_size=2 and quietly stop sharding the batch (VERDICT r2 #6)
+        import pytest
+
+        from vicasplat_tpu.data.data_module import DataModule
+
+        dm = DataModule({"re10k": {}}, {"train": {"batchsize": 16}})
+        with pytest.raises(ValueError, match="batchsize"):
+            dm.train_batch_size()
+
+    def test_per_dataset_override_allowed(self):
+        from vicasplat_tpu.data.data_module import DataModule
+
+        dm = DataModule(
+            {"re10k": {}}, {"train": {"re10k": {"batch_size": 8}}}
+        )
+        assert dm.train_batch_size() == 8

@@ -224,3 +224,66 @@ class TestLayout:
         assert v.shape == (20, 10, 3)
         lab = add_label(a, "test")
         assert lab.shape[1] == 10 and lab.shape[0] > 8
+
+
+class TestAlignObjective:
+    """Pose-alignment loss follows the configured experiment losses minus
+    camera (reference model_wrapper.py:485-489), with a documented SSIM
+    fallback when LPIPS weights are unavailable."""
+
+    def _imgs(self):
+        import jax
+        import jax.numpy as jnp
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        return (jax.random.uniform(k1, (1, 2, 16, 16, 3)),
+                jax.random.uniform(k2, (1, 2, 16, 16, 3)))
+
+    def test_protocol_mse_only(self):
+        import numpy as np
+
+        from vicasplat_tpu.evaluation.nvs_eval import make_align_objective
+        from vicasplat_tpu.utils.config import LossWeightsConfig
+        from vicasplat_tpu.loss.losses import LossMseConfig
+
+        cfg = LossWeightsConfig(mse=LossMseConfig(weight=2.0), lpips=None)
+        fn, mode = make_align_objective(cfg, lpips_fn=None)
+        assert mode == "mse"
+        pred, tgt = self._imgs()
+        np.testing.assert_allclose(
+            float(fn(pred, tgt)), 2.0 * float(((pred - tgt) ** 2).mean()),
+            rtol=1e-6)
+
+    def test_protocol_mse_plus_lpips(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vicasplat_tpu.evaluation.nvs_eval import make_align_objective
+        from vicasplat_tpu.utils.config import LossWeightsConfig
+        from vicasplat_tpu.loss.losses import LossLpipsConfig, LossMseConfig
+
+        cfg = LossWeightsConfig(
+            mse=LossMseConfig(weight=1.0),
+            lpips=LossLpipsConfig(weight=0.05),
+        )
+        stub = lambda a, b: jnp.float32(0.5)
+        fn, mode = make_align_objective(cfg, lpips_fn=stub)
+        assert mode == "mse+lpips"
+        pred, tgt = self._imgs()
+        np.testing.assert_allclose(
+            float(fn(pred, tgt)),
+            float(((pred - tgt) ** 2).mean()) + 0.05 * 0.5,
+            rtol=1e-6)
+
+    def test_fallback_when_lpips_unavailable(self):
+        from vicasplat_tpu.evaluation.nvs_eval import make_align_objective
+        from vicasplat_tpu.utils.config import LossWeightsConfig
+        from vicasplat_tpu.loss.losses import LossLpipsConfig, LossMseConfig
+
+        cfg = LossWeightsConfig(
+            mse=LossMseConfig(), lpips=LossLpipsConfig()
+        )
+        _, mode = make_align_objective(cfg, lpips_fn=None)
+        assert mode == "ssim_fallback"
+        _, mode2 = make_align_objective(None, None)
+        assert mode2 == "ssim_fallback"

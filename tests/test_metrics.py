@@ -162,3 +162,84 @@ class TestLpipsGraph:
         pred = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 3))
         g = jax.grad(lambda p: lpips_distance(params, p, target))(pred)
         assert jnp.isfinite(g).all() and float(jnp.abs(g).max()) > 0
+
+
+class TestDegenerateTrajectories:
+    """Degenerate inputs must skip metrics (None / absent key), never emit
+    NaN into summaries (VERDICT r2: committed scores_all_avg.json had
+    "ate": NaN)."""
+
+    def test_ate_rpe_none_on_nonfinite_poses(self):
+        rng = np.random.default_rng(5)
+        gt = random_traj(rng, 6)
+        pred = gt.copy()
+        pred[2, 0, 3] = np.nan
+        assert ate(gt, pred) is None
+        assert rpe(gt, pred) == (None, None)
+        m = camera_eval_metrics(gt, pred)
+        assert "ate" not in m and "rpe_trans" not in m
+        for v in m.values():
+            assert np.isfinite(np.asarray(v)).all()
+
+    def test_ate_none_on_single_frame(self):
+        gt = np.eye(4)[None]
+        assert ate(gt, gt) is None
+
+    def test_static_trajectory_finite(self):
+        # all-identity (zero-variance) trajectories: scale guard kicks in,
+        # metrics stay finite
+        gt = np.broadcast_to(np.eye(4), (6, 4, 4)).copy()
+        m = camera_eval_metrics(gt, gt)
+        for v in m.values():
+            assert np.isfinite(np.asarray(v)).all()
+
+    def test_evaluate_scene_no_nan_with_corrupt_gt(self):
+        # end-to-end: a scene whose GT poses are corrupt must produce a
+        # result dict with no NaN numeric values (main.test summarises
+        # with nanmean + n_valid)
+        import jax
+        import jax.numpy as jnp
+        from tests.test_model import tiny_cfg, tiny_batch
+        from vicasplat_tpu.decoder.splatting import DecoderSplattingConfig
+        from vicasplat_tpu.evaluation.nvs_eval import EvalConfig, evaluate_scene
+        from vicasplat_tpu.models import init_vicasplat
+        from vicasplat_tpu.ops.rasterize import RasterizeConfig
+
+        cfg = tiny_cfg()
+        params = init_vicasplat(jax.random.PRNGKey(0), cfg)
+        b = tiny_batch(jax.random.PRNGKey(1), B=1)
+        ext = np.broadcast_to(np.eye(4, dtype=np.float32), (1, 3, 4, 4)).copy()
+        ext[0, 1, 0, 3] = np.nan  # corrupt GT
+        batch = {
+            "scene": ["corrupt"],
+            "context": {
+                "image": b["image"] * 0.5 + 0.5, "intrinsics": b["intrinsics"],
+                "extrinsics": jnp.asarray(ext),
+                "near": jnp.ones((1, 3)), "far": jnp.full((1, 3), 100.0),
+            },
+            "target": {
+                "image": b["image"][:, :2] * 0.5 + 0.5,
+                "intrinsics": b["intrinsics"][:, :2],
+                "extrinsics": jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4)),
+                "near": jnp.ones((1, 2)), "far": jnp.full((1, 2), 100.0),
+            },
+        }
+        dec_cfg = DecoderSplattingConfig(
+            rasterize=RasterizeConfig(tile_px=8, dup_hw=(2, 2),
+                                      max_per_tile=32, chunk=32, tile_group=4)
+        )
+        r = evaluate_scene(
+            params, cfg, dec_cfg,
+            EvalConfig(align_pose=False, save_image=False), batch,
+        )
+        for k, v in r.items():
+            if isinstance(v, float):
+                assert np.isfinite(v), f"{k} is not finite: {v}"
+        assert "ate" not in r  # skipped, not NaN
+
+        from vicasplat_tpu.main import _nan_summary
+        mean, n = _nan_summary([{k: v for k, v in r.items()
+                                 if not k.startswith("_")}], "ate")
+        assert n == 0 and np.isnan(mean)
+        mean, n = _nan_summary([{"psnr": 10.0}, {"psnr": float("nan")}], "psnr")
+        assert n == 1 and mean == 10.0

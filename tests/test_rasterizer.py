@@ -29,9 +29,9 @@ CAM = {
     "intrinsics": jnp.array([[[1.2, 0.0, 0.5], [0.0, 1.2, 0.5], [0.0, 0.0, 1.0]]]),
 }
 BG = jnp.zeros(3)
-# exact f32 payload rows for oracle comparisons at tight (2e-3) tolerances;
-# the production default (packed_gather=True) rounds alpha/color to bf16 and
-# is covered by TestPackedGather at its own tolerance.
+# exact f32 payload rows (the production default); the optional packed
+# bf16-row path (packed_gather=True) is covered by TestPackedGather at its
+# own tolerance.
 CFG = RasterizeConfig(tile_px=8, dup_hw=(4, 4), max_per_tile=64, chunk=32,
                       tile_group=16, packed_gather=False)
 
@@ -67,6 +67,25 @@ class TestTiledVsBruteForce:
             jnp.broadcast_to(bg, color[0][alpha[0] < 0.01].shape),
             atol=1e-2,
         )
+
+    def test_tiny_scene_fewer_candidates_than_capacity(self):
+        # regression: n*KH*KW < max_per_tile made the contiguous-slice
+        # binning trace a dynamic_slice larger than the sorted array
+        # (ADVICE r2). 4 splats x (2,2) window = 16 candidates < K=64.
+        means, covs, sh, opac = make_scene(jax.random.PRNGKey(3), n=4)
+        cfg = RasterizeConfig(tile_px=8, dup_hw=(2, 2), max_per_tile=64,
+                              chunk=32, tile_group=4, packed_gather=False)
+        shape = (32, 32)
+        color, depth, alpha = render(
+            means, covs, sh, opac, CAM["extrinsics"], CAM["intrinsics"],
+            shape, BG, sh_degree=0, cfg=cfg,
+        )
+        c_ref, d_ref, a_ref = render_view_bruteforce(
+            means, covs, sh, opac, jnp.eye(4), CAM["intrinsics"][0],
+            shape, BG, sh_degree=0,
+        )
+        np.testing.assert_allclose(color[0], c_ref, atol=2e-3)
+        np.testing.assert_allclose(alpha[0], a_ref, atol=2e-3)
 
     def test_empty_scene(self):
         means = jnp.zeros((8, 3)).at[:, 2].set(-5.0)  # all behind camera
@@ -387,3 +406,48 @@ class TestCoverageStats:
         )()
         assert float(stats2["truncated_frac"]) == 0.0
         assert float(stats2["tile_overflow_frac"]) < 0.5
+
+
+class TestDecoderCovFallback:
+    def test_baked_covariances_render_like_scales_rotations(self):
+        # scales/rotations are the source of truth, but Gaussians carrying
+        # only baked covariances (e.g. loaded from PLY) must render the
+        # same, not silently wrong (ADVICE r2).
+        from vicasplat_tpu.decoder.splatting import (
+            DecoderSplattingConfig, decoder_forward,
+        )
+        from vicasplat_tpu.models.adapter import Gaussians
+
+        key = jax.random.PRNGKey(7)
+        ks = jax.random.split(key, 4)
+        n = 32
+        means = jax.random.normal(ks[0], (1, n, 3)) * 0.3
+        means = means.at[..., 2].add(2.0)
+        scales = jax.random.uniform(ks[1], (1, n, 3), minval=0.02, maxval=0.08)
+        q = jax.random.normal(ks[2], (1, n, 4))
+        rotations = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+        covs = jax.vmap(build_covariance)(scales, rotations)
+        sh = jax.random.uniform(ks[3], (1, n, 3, 1))
+        opac = jnp.full((1, n), 0.8)
+        ext = jnp.eye(4)[None, None]
+        K = CAM["intrinsics"][None]
+        near = jnp.ones((1, 1))
+        far = jnp.full((1, 1), 100.0)
+        cfg = DecoderSplattingConfig(
+            rasterize=RasterizeConfig(tile_px=8, dup_hw=(4, 4),
+                                      max_per_tile=64, chunk=32, tile_group=4)
+        )
+        g_sr = Gaussians(means, covs, sh, opac, scales, rotations)
+        g_cov = Gaussians(means, covs, sh, opac, None, None)
+        out_sr = decoder_forward(cfg, g_sr, ext, K, near, far, (32, 32))
+        out_cov = decoder_forward(cfg, g_cov, ext, K, near, far, (32, 32))
+        np.testing.assert_allclose(out_cov.color, out_sr.color, atol=2e-3)
+
+        # make_scale_invariant path must also agree between the two forms
+        cfg_si = DecoderSplattingConfig(
+            rasterize=cfg.rasterize, make_scale_invariant=True
+        )
+        near2 = jnp.full((1, 1), 0.5)
+        a = decoder_forward(cfg_si, g_sr, ext, K, near2, far, (32, 32))
+        b = decoder_forward(cfg_si, g_cov, ext, K, near2, far, (32, 32))
+        np.testing.assert_allclose(b.color, a.color, atol=2e-3)

@@ -181,7 +181,25 @@ class DataModule:
         if ds_name in section:  # per-dataset override
             section = section[ds_name]
         fields = {f.name for f in dataclasses.fields(DataLoaderConfig)}
+        # strict schema: a typo'd key (e.g. batchsize) must raise, not
+        # silently fall back to defaults — the train loop sizes its device
+        # mesh from batch_size, so a silent default would stop sharding
+        unknown = [k for k in section
+                   if k not in fields and k not in self.dataset_cfgs]
+        if unknown:
+            raise ValueError(
+                f"unknown data_loader.{stage} key(s) {unknown}; expected "
+                f"one of {sorted(fields)} or per-dataset overrides "
+                f"{sorted(self.dataset_cfgs)}"
+            )
         return DataLoaderConfig(**{k: v for k, v in section.items() if k in fields})
+
+    def train_batch_size(self) -> int:
+        """Global train batch size from the typed loader config (the train
+        loop shards this over the device mesh)."""
+        return self._loader_params(
+            "train", next(iter(self.dataset_cfgs), "")
+        ).batch_size
 
     def loader(self, stage: str):
         lp = self._loader_params(stage, next(iter(self.dataset_cfgs), ""))

@@ -34,7 +34,9 @@ class DecoderOutput(NamedTuple):
 def flatten_gaussians(g: Gaussians) -> Gaussians:
     """(B, T, H, W, ...) pixel-aligned Gaussians -> (B, N, ...)."""
     b = g.means.shape[0]
-    flat = lambda x, extra: x.reshape(b, -1, *x.shape[x.ndim - extra:])
+    flat = lambda x, extra: (
+        None if x is None else x.reshape(b, -1, *x.shape[x.ndim - extra:])
+    )
     return Gaussians(
         means=flat(g.means, 1),
         covariances=flat(g.covariances, 2),
@@ -66,19 +68,26 @@ def decoder_forward(
     if cfg.make_scale_invariant:
         scale = 1.0 / near[:, 0]  # (B,)
         extrinsics = extrinsics.at[..., :3, 3].multiply(scale[:, None, None])
-        gaussians = gaussians._replace(
-            means=gaussians.means * scale[:, None, None],
-            covariances=gaussians.covariances * (scale[:, None, None, None] ** 2),
-        )
+        gaussians = gaussians._replace(means=gaussians.means * scale[:, None, None])
         near = near * scale[:, None]
         far = far * scale[:, None]
 
-    # packed (B, N, 6) covariance from scales/rotations: the (N, 3, 3) form
-    # tiles at ~42x its logical bytes on TPU (projection.cov6_from_scale_rot)
+    # packed (B, N, 6) covariance. scales/rotations are the source of truth
+    # (the adapter always fills them); recomputing cov6 from them beats
+    # loading the (N, 3, 3) field, which tiles at ~42x its logical bytes on
+    # TPU (projection.cov6_from_scale_rot). Gaussians built without
+    # scales/rotations (e.g. loaded from a PLY with baked covariances) fall
+    # back to packing the covariances field's upper triangle.
     from ..ops.rasterize.projection import cov6_from_scale_rot
 
     B = gaussians.means.shape[0]
-    cov6 = jax.vmap(cov6_from_scale_rot)(gaussians.scales, gaussians.rotations)
+    if gaussians.scales is None or gaussians.rotations is None:
+        c = gaussians.covariances
+        cov6 = jnp.stack(
+            [c[..., 0, 0], c[..., 0, 1], c[..., 0, 2],
+             c[..., 1, 1], c[..., 1, 2], c[..., 2, 2]], axis=-1)
+    else:
+        cov6 = jax.vmap(cov6_from_scale_rot)(gaussians.scales, gaussians.rotations)
     if cfg.make_scale_invariant:
         cov6 = cov6 * (scale[:, None, None] ** 2)
 

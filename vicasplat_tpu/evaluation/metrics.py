@@ -67,13 +67,21 @@ def umeyama_alignment(x: np.ndarray, y: np.ndarray, with_scale: bool = True):
 
 
 def ate(gt_c2w: np.ndarray, pred_c2w: np.ndarray, correct_scale: bool = True):
-    """Absolute trajectory error: RMSE of aligned positions (meters)."""
+    """Absolute trajectory error: RMSE of aligned positions (meters).
+
+    Returns None (metric skipped, summaries use nanmean) rather than NaN
+    when the trajectories are degenerate — non-finite poses or fewer than
+    2 frames (reference evo raises here; we keep batch evaluation going)."""
     gt_pos = gt_c2w[:, :3, 3].T     # (3, N)
     pr_pos = pred_c2w[:, :3, 3].T
+    if (gt_pos.shape[1] < 2 or not np.isfinite(gt_pos).all()
+            or not np.isfinite(pr_pos).all()):
+        return None
     R, t, s = umeyama_alignment(pr_pos, gt_pos, with_scale=correct_scale)
     aligned = s * R @ pr_pos + t[:, None]
     err = np.linalg.norm(aligned - gt_pos, axis=0)
-    return float(np.sqrt((err**2).mean()))
+    val = float(np.sqrt((err**2).mean()))
+    return val if np.isfinite(val) else None
 
 
 def _relative_poses(c2w: np.ndarray, delta: int = 1) -> np.ndarray:
@@ -84,7 +92,11 @@ def rpe(gt_c2w: np.ndarray, pred_c2w: np.ndarray, delta: int = 1):
     """Relative pose error over consecutive frames: (trans RMSE, rot RMSE deg).
 
     Trajectories are Sim(3)-aligned first (evo's align+scale semantics).
+    Returns (None, None) on degenerate inputs (see ate()).
     """
+    if (len(gt_c2w) <= delta or not np.isfinite(gt_c2w).all()
+            or not np.isfinite(pred_c2w).all()):
+        return None, None
     # scale-align prediction to GT first (monocular scale ambiguity)
     R, t, s = umeyama_alignment(
         pred_c2w[:, :3, 3].T, gt_c2w[:, :3, 3].T, with_scale=True
@@ -122,18 +134,23 @@ def camera_eval_metrics(gt_c2w: np.ndarray, pred_c2w: np.ndarray) -> dict:
     """ATE + RPE(trans, rot) + per-pair angular errors for one trajectory."""
     gt = np.asarray(gt_c2w, np.float64)
     pr = np.asarray(pred_c2w, np.float64)
-    out = {
-        "ate": ate(gt, pr),
-    }
+    out = {}
+    ate_val = ate(gt, pr)
+    if ate_val is not None:
+        out["ate"] = ate_val
     if len(gt) >= 3:
         rpe_t, rpe_r = rpe(gt, pr)
-        out["rpe_trans"] = rpe_t
-        out["rpe_rot"] = rpe_r
+        if rpe_t is not None:
+            out["rpe_trans"] = rpe_t
+            out["rpe_rot"] = rpe_r
     # pairwise relative rotation/translation-direction errors vs frame 0
-    rel_gt = np.linalg.inv(gt[:1]) @ gt[1:]
-    rel_pr = np.linalg.inv(pr[:1]) @ pr[1:]
-    out["rot_err_deg"] = rotation_angle_deg(rel_gt[:, :3, :3], rel_pr[:, :3, :3])
-    out["trans_err_deg"] = translation_angle_deg(rel_gt[:, :3, 3], rel_pr[:, :3, 3])
+    if np.isfinite(gt).all() and np.isfinite(pr).all():
+        rel_gt = np.linalg.inv(gt[:1]) @ gt[1:]
+        rel_pr = np.linalg.inv(pr[:1]) @ pr[1:]
+        out["rot_err_deg"] = rotation_angle_deg(
+            rel_gt[:, :3, :3], rel_pr[:, :3, :3])
+        out["trans_err_deg"] = translation_angle_deg(
+            rel_gt[:, :3, 3], rel_pr[:, :3, 3])
     return out
 
 

@@ -39,13 +39,59 @@ class EvalConfig:
     save_gs: bool = False
 
 
+def make_align_objective(loss_cfg=None, lpips_fn=None):
+    """(image_loss(pred, target), mode) for test-time pose alignment.
+
+    Reference protocol (model_wrapper.py:485-489): the experiment's
+    configured losses minus the camera loss — MSE + LPIPS for re10k_8view.
+    Modes:
+      - "mse" / "mse+lpips": the protocol objective from `loss_cfg`
+        (LossWeightsConfig) with the configured weights.
+      - "ssim_fallback": no loss_cfg, or LPIPS is configured but its VGG
+        weights are unobtainable (lpips_fn None) — the perceptual term
+        would silently vanish, so the documented stand-in objective
+        0.8*MSE + 0.2*(1-SSIM) is used instead."""
+    from ..loss.ssim import ssim
+
+    use_protocol = loss_cfg is not None and loss_cfg.mse is not None
+    if use_protocol and loss_cfg.lpips is not None and lpips_fn is None:
+        use_protocol = False
+    if use_protocol:
+        lpips_weight = (
+            loss_cfg.lpips.weight if loss_cfg.lpips is not None else 0.0
+        )
+        mse_weight = loss_cfg.mse.weight
+
+        def image_loss(pred, target):
+            total = mse_weight * ((pred - target) ** 2).mean()
+            if lpips_weight > 0.0:
+                total = total + lpips_weight * lpips_fn(pred, target)
+            return total
+
+        return image_loss, ("mse+lpips" if lpips_weight > 0.0 else "mse")
+
+    def image_loss(pred, target):
+        mse = ((pred - target) ** 2).mean()
+        return 0.8 * mse + 0.2 * (1.0 - ssim(pred, target))
+
+    return image_loss, "ssim_fallback"
+
+
 def make_pose_align_step(model_cfg: VicaSplatConfig,
                          dec_cfg: DecoderSplattingConfig, eval_cfg: EvalConfig,
-                         image_shape):
+                         image_shape, loss_cfg=None, lpips_fn=None):
     """Test-time gradient pose alignment: optimize per-target-view SE(3)
-    deltas by rendering and minimizing MSE+ (1-SSIM) against the target
-    (reference model_wrapper.py:442-513)."""
-    from ..loss.ssim import ssim
+    deltas by rendering against the target (reference
+    model_wrapper.py:442-513).
+
+    The objective follows the reference protocol (model_wrapper.py:485-489):
+    the experiment's configured losses minus the camera loss — i.e. for
+    re10k_8view, weighted MSE + LPIPS. `loss_cfg` is the LossWeightsConfig;
+    `lpips_fn` the perceptual metric when VGG weights are available. With no
+    loss_cfg (or when LPIPS is configured but its weights are unobtainable
+    and MSE alone would under-constrain), the documented fallback objective
+    is 0.8*MSE + 0.2*(1-SSIM) — SSIM standing in for the perceptual term."""
+    image_loss, _mode = make_align_objective(loss_cfg, lpips_fn)
 
     def loss_fn(deltas, gaussians, tgt):
         rendered = decoder_forward(
@@ -53,8 +99,7 @@ def make_pose_align_step(model_cfg: VicaSplatConfig,
             tgt["near"], tgt["far"], image_shape,
             cam_rot_delta=deltas["rot"], cam_trans_delta=deltas["trans"],
         )
-        mse = ((rendered.color - tgt["image"]) ** 2).mean()
-        return 0.8 * mse + 0.2 * (1.0 - ssim(rendered.color, tgt["image"]))
+        return image_loss(rendered.color, tgt["image"])
 
     opt = optax.multi_transform(
         {

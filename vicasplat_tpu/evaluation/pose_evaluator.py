@@ -55,17 +55,20 @@ class PoseEvaluator:
             pred = self._refine(out, ctx, pred)
 
         m = camera_eval_metrics(gt, pred)
+        # degenerate trajectories yield no entry (metrics.py returns None);
+        # record NaN so summaries (np.nanmean) skip them cleanly
         result = {
             "scene": batch.get("scene", ["?"])[0],
-            "ate": m["ate"],
+            "ate": m.get("ate", float("nan")),
             "rpe_trans": m.get("rpe_trans", float("nan")),
             "rpe_rot": m.get("rpe_rot", float("nan")),
         }
         for k, v in result.items():
             if k != "scene":
                 self.metrics[k].append(v)
-        self.metrics["rot_err_deg"].extend(m["rot_err_deg"].tolist())
-        self.metrics["trans_err_deg"].extend(m["trans_err_deg"].tolist())
+        if "rot_err_deg" in m:
+            self.metrics["rot_err_deg"].extend(m["rot_err_deg"].tolist())
+            self.metrics["trans_err_deg"].extend(m["trans_err_deg"].tolist())
         return result
 
     def _refine(self, out, ctx, pred):

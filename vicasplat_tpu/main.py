@@ -83,12 +83,7 @@ def train(cfg):
 
     # data-parallel mesh: use the largest device count that divides the
     # global batch (a 2-example batch can't shard over 8 devices)
-    batch_size = max(
-        (sec.get("batch_size", 1) if isinstance(sec, dict) else 1)
-        for sec in [cfg.data_loader.get("train", {})] +
-        [v for v in cfg.data_loader.get("train", {}).values()
-         if isinstance(v, dict)]
-    )
+    batch_size = dm.train_batch_size()
     n_dev = len(jax.devices())
     while batch_size % n_dev != 0:
         n_dev -= 1
@@ -112,7 +107,7 @@ def train(cfg):
     teacher_fn = _maybe_distiller(cfg)
     step_fn = jax.jit(
         make_train_step(train_cfg, optimizer, lpips_fn=lpips_fn,
-                        teacher_fn=teacher_fn),
+                        teacher_fn=teacher_fn, mesh=mesh),
         donate_argnums=(0, 1),
         static_argnames=("phase",),
     )
@@ -319,6 +314,16 @@ def _maybe_lpips(cfg):
         return None
 
 
+def _nan_summary(scored, key):
+    """(nanmean, n_valid) of a per-scene metric, skipping missing/NaN."""
+    vals = np.asarray(
+        [x[key] for x in scored if key in x and x[key] is not None],
+        np.float64,
+    )
+    vals = vals[np.isfinite(vals)]
+    return (float(vals.mean()) if len(vals) else float("nan")), int(len(vals))
+
+
 def test(cfg):
     from .data import DataModule
     from .evaluation.nvs_eval import (
@@ -362,13 +367,13 @@ def test(cfg):
             t["far"], (h, w), cam_rot_delta=rot, cam_trans_delta=trans,
         )
     )
+    lpips_fn = _maybe_lpips(cfg)
     align_fn = (
-        make_pose_align_step(cfg.encoder, cfg.decoder, eval_cfg, (h, w))
+        make_pose_align_step(cfg.encoder, cfg.decoder, eval_cfg, (h, w),
+                             loss_cfg=cfg.loss, lpips_fn=lpips_fn)
         if eval_cfg.align_pose and eval_cfg.pose_align_steps > 0
         else None
     )
-
-    lpips_fn = _maybe_lpips(cfg)
     results = []
     for full_batch in dm.test_dataloader():
         # score per scene even if the loader batches >1 (scores would
@@ -394,9 +399,9 @@ def test(cfg):
             print(
                 f"[{len(results)}] {r['scene']}: "
                 + " ".join(
-                    f"{k}={np.mean([x[k] for x in scored]):.3f}"
+                    f"{k}={_nan_summary(scored, k)[0]:.3f}"
                     for k in ("psnr", "ssim", "ate")
-                    if k in scored[0]
+                    if any(k in x for x in scored)
                 ),
                 flush=True,
             )
@@ -407,11 +412,19 @@ def test(cfg):
     out = pathlib.Path(eval_cfg.output_path)
     out.mkdir(parents=True, exist_ok=True)
     scored = [x for x in results if "psnr" in x]
-    summary = {
-        k: float(np.mean([x[k] for x in scored]))
-        for k in scored[0]
-        if isinstance(scored[0][k], (int, float))
-    } if scored else {}
+    # nanmean + n_valid per metric: a metric skipped on a degenerate scene
+    # (metrics.py returns None) must not poison the committed summary
+    summary, n_valid = {}, {}
+    keys = sorted({k for x in scored for k in x
+                   if isinstance(x[k], (int, float))})
+    for k in keys:
+        mean, n = _nan_summary(scored, k)
+        if n:
+            summary[k] = mean
+            n_valid[k] = n
+    if summary:
+        summary["n_scenes"] = len(scored)
+        summary["n_valid"] = n_valid
     with open(out / "scores_all_avg.json", "w") as f:
         json.dump(summary, f, indent=2)
     bench.dump(out / "benchmark.json")

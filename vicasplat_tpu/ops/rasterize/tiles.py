@@ -151,7 +151,7 @@ def bin_splats(
     tile_px: int,
     dup_hw: tuple,
     max_per_tile: int,
-    packed_gather: bool = True,
+    packed_gather: bool = False,
 ) -> TileBins:
     H, W = image_shape
     th = -(-H // tile_px)
@@ -229,7 +229,15 @@ def bin_splats(
     # dynamic_slice clamps its start so the window fits; windows shifted back
     # that way cover positions before the tile's segment, so validity is
     # checked against the true [starts, ends) range of each position.
-    starts_i = jnp.minimum(starts.astype(jnp.int32), n * KH * KW - max_per_tile)
+    L = n * KH * KW
+    if L < max_per_tile:
+        # tiny scene: fewer candidate (splat, window-slot) pairs than the
+        # per-tile capacity — dynamic_slice would need a window larger than
+        # the array. Pad with dead entries (idx 0); slot_valid already
+        # zeroes them since pos >= ends for padded positions.
+        sorted_idx = jnp.pad(sorted_idx, (0, max_per_tile - L))
+        L = max_per_tile
+    starts_i = jnp.minimum(starts.astype(jnp.int32), L - max_per_tile)
     pos = starts_i[:, None] + k[None, :]
     slot_valid = (pos >= starts[:, None].astype(jnp.int32)) & (
         pos < ends[:, None].astype(jnp.int32)

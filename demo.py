@@ -149,6 +149,15 @@ def main():
     traj = interpolate_trajectory(jnp.asarray(poses), args.steps_per_segment)
     V = traj.shape[0]
     dec_cfg = DecoderSplattingConfig()
+
+    # warn if the rasterizer's static caps truncate this scene
+    from vicasplat_tpu.decoder.splatting import coverage_report
+
+    coverage_report(
+        dec_cfg, g, traj[None],
+        jnp.broadcast_to(jnp.asarray(K), (1, V, 3, 3)), (args.size, args.size),
+        tag=pathlib.Path(args.image_dir).name,
+    )
     rendered = decoder_forward(
         dec_cfg, g, traj[None], jnp.broadcast_to(jnp.asarray(K), (1, V, 3, 3)),
         jnp.full((1, V), 0.05), jnp.full((1, V), 100.0),

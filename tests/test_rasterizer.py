@@ -451,3 +451,58 @@ class TestDecoderCovFallback:
         a = decoder_forward(cfg_si, g_sr, ext, K, near2, far, (32, 32))
         b = decoder_forward(cfg_si, g_cov, ext, K, near2, far, (32, 32))
         np.testing.assert_allclose(b.color, a.color, atol=2e-3)
+
+
+class TestCoverageWarnings:
+    def test_eval_warns_on_overflowing_scene(self, capsys):
+        # product-level guard (VERDICT r2 #6): a scene that overflows the
+        # per-tile capacity must print an actionable warning and report the
+        # fractions in the result
+        from vicasplat_tpu.decoder.splatting import (
+            DecoderSplattingConfig, coverage_report,
+        )
+        from vicasplat_tpu.models.adapter import Gaussians
+
+        key = jax.random.PRNGKey(11)
+        n = 512
+        ks = jax.random.split(key, 3)
+        # all splats piled into the same small region -> tile overflow with
+        # a tiny max_per_tile; huge covariances -> window truncation
+        means = jax.random.normal(ks[0], (1, n, 3)) * 0.02
+        means = means.at[..., 2].add(2.0)
+        scales = jnp.full((1, n, 3), 0.5)
+        rotations = jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (1, n, 1))
+        sh = jax.random.uniform(ks[1], (1, n, 3, 1))
+        g = Gaussians(means, None, sh, jnp.full((1, n), 0.9), scales,
+                      rotations)
+        cfg = DecoderSplattingConfig(
+            rasterize=RasterizeConfig(tile_px=8, dup_hw=(2, 2),
+                                      max_per_tile=32, chunk=32, tile_group=4)
+        )
+        ext = jnp.eye(4)[None, None]
+        stats = coverage_report(cfg, g, ext, CAM["intrinsics"][None],
+                                (32, 32), tag="overflow-scene")
+        out = capsys.readouterr().out
+        assert stats["tile_overflow_frac"] > 0.05
+        assert "WARNING" in out and "overflow-scene" in out
+        assert "max_per_tile" in out or "dup_hw" in out
+
+    def test_no_warning_on_benign_scene(self, capsys):
+        from vicasplat_tpu.decoder.splatting import (
+            DecoderSplattingConfig, coverage_report,
+        )
+        from vicasplat_tpu.models.adapter import Gaussians
+
+        means, covs, sh, opac = make_scene(jax.random.PRNGKey(12), n=16)
+        scales = jnp.full((16, 3), 0.01)
+        rotations = jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (16, 1))
+        g = Gaussians(means[None], None, sh[None], opac[None],
+                      scales[None], rotations[None])
+        cfg = DecoderSplattingConfig(
+            rasterize=RasterizeConfig(tile_px=8, dup_hw=(4, 4),
+                                      max_per_tile=64, chunk=32, tile_group=4)
+        )
+        stats = coverage_report(cfg, g, jnp.eye(4)[None, None],
+                                CAM["intrinsics"][None], (32, 32))
+        assert "WARNING" not in capsys.readouterr().out
+        assert stats["truncated_frac"] <= 0.05

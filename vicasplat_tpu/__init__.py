@@ -21,3 +21,24 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compile cache for every entry point (CLI, demo, serving —
+# previously only bench.py/__graft_entry__ set it, so each demo run paid the
+# full multi-minute flagship compile from scratch). JAX_COMPILATION_CACHE_DIR
+# overrides; default lives next to the package checkout.
+import os as _os
+
+try:
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),
+                          ".jax_cache"),
+        ),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # cache is an optimization, never a hard dependency
+    pass

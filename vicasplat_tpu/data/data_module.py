@@ -58,6 +58,7 @@ class PrefetchIterator:
             example_iters = [example_iters]
         self.batch_size = batch_size
         self.drop_last = drop_last
+        self._stop = threading.Event()
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         if len(example_iters) == 1:
             self._threads = [threading.Thread(
@@ -78,34 +79,53 @@ class PrefetchIterator:
         for t in self._threads:
             t.start()
 
+    def _put(self, q: queue.Queue, item) -> bool:
+        """put() that aborts when the consumer closed the iterator — a
+        producer blocked in put() at interpreter exit dies inside C
+        extension code ('terminate called without an active exception')."""
+        while not self._stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _single_worker(self, it):
         batch = []
         try:
             for ex in it:
+                if self._stop.is_set():
+                    return
                 batch.append(ex)
                 if len(batch) == self.batch_size:
-                    self._q.put(collate(batch))
+                    if not self._put(self._q, collate(batch)):
+                        return
                     batch = []
             if batch and not self.drop_last:
-                self._q.put(collate(batch))
+                self._put(self._q, collate(batch))
         except Exception as e:  # surface worker errors to the consumer
-            self._q.put(e)
-        self._q.put(None)
+            self._put(self._q, e)
+        self._put(self._q, None)
 
     def _producer(self, it):
         try:
             for ex in it:
-                self._ex_q.put(ex)
+                if not self._put(self._ex_q, ex):
+                    return
         except Exception as e:
-            self._ex_q.put(e)
-        self._ex_q.put(StopIteration())
+            self._put(self._ex_q, e)
+        self._put(self._ex_q, StopIteration())
 
     def _collator(self, n_producers: int):
         batch = []
         done = 0
         try:
-            while done < n_producers:
-                item = self._ex_q.get()
+            while done < n_producers and not self._stop.is_set():
+                try:
+                    item = self._ex_q.get(timeout=0.2)
+                except queue.Empty:
+                    continue
                 if isinstance(item, StopIteration):
                     done += 1
                     continue
@@ -113,13 +133,29 @@ class PrefetchIterator:
                     raise item
                 batch.append(item)
                 if len(batch) == self.batch_size:
-                    self._q.put(collate(batch))
+                    if not self._put(self._q, collate(batch)):
+                        return
                     batch = []
             if batch and not self.drop_last:
-                self._q.put(collate(batch))
+                self._put(self._q, collate(batch))
         except Exception as e:
-            self._q.put(e)
-        self._q.put(None)
+            self._put(self._q, e)
+        self._put(self._q, None)
+
+    def close(self):
+        """Stop producer/collator threads (safe after partial iteration)."""
+        self._stop.set()
+        # drain so any thread blocked in put() sees the flag promptly
+        for q in (self._q, getattr(self, "_ex_q", None)):
+            if q is None:
+                continue
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+        for t in self._threads:
+            t.join(timeout=2.0)
 
     def __iter__(self):
         return self

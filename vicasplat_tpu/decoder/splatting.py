@@ -110,3 +110,65 @@ def decoder_forward(
         ),
     )
     return DecoderOutput(color, depth, alpha)
+
+
+# coverage thresholds above which the static-shape caps (dup_hw tiles per
+# splat, max_per_tile entries per tile) visibly distort a scene. The CUDA
+# reference has no such caps (cuda_splatting.py:148-239 emits unbounded
+# per-tile lists), so silent truncation is OUR correctness risk — surface it.
+COVERAGE_TRUNCATED_WARN = 0.05
+COVERAGE_OVERFLOW_WARN = 0.05
+
+
+def coverage_report(
+    cfg: DecoderSplattingConfig,
+    gaussians: Gaussians,
+    extrinsics: jnp.ndarray,   # (B, V, 4, 4) c2w
+    intrinsics: jnp.ndarray,   # (B, V, 3, 3) normalized
+    image_shape: tuple,
+    view: int = 0,
+    warn: bool = True,
+    tag: str = "",
+) -> dict:
+    """Rasterizer coverage diagnostics for one (first-example) view.
+
+    Returns ops.rasterize.coverage_stats as plain floats and, when
+    `truncated_frac` / `tile_overflow_frac` exceed the warn thresholds,
+    prints an actionable warning (raise dup_hw / max_per_tile)."""
+    from ..geometry.se3 import rigid_inverse
+    from ..ops.rasterize.render import coverage_stats
+
+    if gaussians.means.ndim > 3:
+        gaussians = flatten_gaussians(gaussians)
+    sh_degree = int(round(gaussians.harmonics.shape[-1] ** 0.5)) - 1
+    covs = gaussians.covariances
+    if covs is None:
+        from ..models.adapter import build_covariance
+
+        covs = build_covariance(gaussians.scales, gaussians.rotations)
+    stats = jax.jit(
+        coverage_stats, static_argnames=("image_shape", "sh_degree", "cfg")
+    )(
+        gaussians.means[0], covs[0], gaussians.harmonics[0],
+        gaussians.opacities[0], rigid_inverse(extrinsics[0, view]),
+        intrinsics[0, view], image_shape=tuple(image_shape),
+        sh_degree=sh_degree, cfg=cfg.rasterize,
+    )
+    stats = {k: float(v) for k, v in stats.items()}
+    if warn:
+        r = cfg.rasterize
+        label = f" [{tag}]" if tag else ""
+        if stats["truncated_frac"] > COVERAGE_TRUNCATED_WARN:
+            print(
+                f"WARNING{label}: {stats['truncated_frac']:.1%} of live "
+                f"splats span more than the dup_hw={r.dup_hw} tile window "
+                f"and are truncated; raise rasterize.dup_hw "
+                f"(coverage_stats, no such cap exists in the CUDA reference)"
+            )
+        if stats["tile_overflow_frac"] > COVERAGE_OVERFLOW_WARN:
+            print(
+                f"WARNING{label}: {stats['tile_overflow_frac']:.1%} of tiles "
+                f"hit the max_per_tile={r.max_per_tile} capacity; far splats "
+                f"are dropped — raise rasterize.max_per_tile"
+            )
+    return stats

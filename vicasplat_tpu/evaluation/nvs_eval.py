@@ -37,6 +37,10 @@ class EvalConfig:
     save_video: bool = False
     save_compare: bool = True
     save_gs: bool = False
+    # rasterizer coverage diagnostics per scene: warn when the static-shape
+    # caps (dup_hw / max_per_tile) measurably truncate the scene — the CUDA
+    # reference has no such caps, so this is our correctness guard
+    coverage_check: bool = True
 
 
 def make_align_objective(loss_cfg=None, lpips_fn=None):
@@ -179,6 +183,15 @@ def evaluate_scene(
     )
 
     result = {"scene": batch.get("scene", ["?"])[0]}
+    if eval_cfg.coverage_check:
+        from ..decoder.splatting import coverage_report
+
+        cov = coverage_report(
+            dec_cfg, gaussians, tgt["extrinsics"], tgt["intrinsics"],
+            (h, w), tag=str(result["scene"]),
+        )
+        result["coverage_truncated_frac"] = cov["truncated_frac"]
+        result["coverage_tile_overflow_frac"] = cov["tile_overflow_frac"]
     if eval_cfg.compute_scores:
         result["psnr"] = float(compute_psnr(tgt["image"], rendered.color).mean())
         result["ssim"] = float(compute_ssim(tgt["image"], rendered.color))

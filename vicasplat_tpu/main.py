@@ -134,7 +134,8 @@ def train(cfg):
         params = replicate(mesh, params)
         opt_state = replicate(mesh, opt_state)
         while global_step < max_steps:
-            for batch in dm.train_dataloader():
+            loader = dm.train_dataloader()
+            for batch in loader:
                 batch = {k: v for k, v in batch.items() if k != "scene"}
                 batch = shard_batch(mesh, batch)
                 phase = pick_phase(
@@ -170,6 +171,8 @@ def train(cfg):
                         pass
                 if global_step >= max_steps:
                     break
+            # stop prefetch threads left mid-epoch by the max_steps break
+            loader.close()
     save_ckpt(global_step)
     print("training done")
 

@@ -186,6 +186,35 @@ class TestSH:
         gram = (b.T @ b) / dirs.shape[0] * (4 * jnp.pi)
         np.testing.assert_allclose(gram, jnp.eye(25), atol=0.05)
 
+    def test_high_degree_matches_reference_table(self):
+        """Degrees 5-8 recurrence vs the reference's generated rsh_cart_8
+        polynomial table (reference src/misc/sht.py:833)."""
+        import importlib.util
+        import pathlib
+
+        sht_path = pathlib.Path("/root/reference/src/misc/sht.py")
+        if not sht_path.exists():
+            pytest.skip("reference sht.py not present")
+        import torch
+
+        spec = importlib.util.spec_from_file_location("ref_sht", sht_path)
+        ref_sht = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_sht)
+
+        dirs = jax.random.normal(jax.random.PRNGKey(7), (64, 3))
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        ours = np.asarray(sh_basis(dirs, 8))  # (64, 81)
+        ref = ref_sht.rsh_cart_8(torch.from_numpy(np.asarray(dirs))).numpy()
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+    def test_high_degree_orthonormal(self):
+        key = jax.random.PRNGKey(2)
+        dirs = jax.random.normal(key, (400000, 3))
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        b = sh_basis(dirs, 6)  # (M, 49)
+        gram = (b.T @ b) / dirs.shape[0] * (4 * jnp.pi)
+        np.testing.assert_allclose(gram, jnp.eye(49), atol=0.08)
+
     def test_color_clamp(self):
         sh = -10 * jnp.ones((5, 3, 1))
         dirs = jnp.array([[0.0, 0.0, 1.0]] * 5)
@@ -451,6 +480,53 @@ class TestDecoderCovFallback:
         a = decoder_forward(cfg_si, g_sr, ext, K, near2, far, (32, 32))
         b = decoder_forward(cfg_si, g_cov, ext, K, near2, far, (32, 32))
         np.testing.assert_allclose(b.color, a.color, atol=2e-3)
+
+
+class TestWildInputRobustness:
+    """Culled splats must not poison the image, whatever their math does.
+
+    Early random-init training emits means at 1e20+ (exp pts3d
+    parameterization): the direction-normalization squares overflow f32 to
+    inf, and the resulting NaN color survives the compositing matmul even
+    at weight 0. The CUDA reference culls before any per-splat math
+    (cuda_splatting.py); projection.py's mask + overflow-free norm is our
+    equivalent."""
+
+    def test_huge_means_dont_poison_valid_splats(self):
+        means, covs, sh, opac = make_scene(jax.random.PRNGKey(3), n=32)
+        wild_means = jnp.concatenate(
+            [means, jnp.array([[1e23, -3e24, 1e22], [0.0, 0.0, -1e30]])]
+        )
+        wild_covs = jnp.concatenate([covs, jnp.tile(jnp.eye(3) * 1e-4, (2, 1, 1))])
+        wild_sh = jnp.concatenate([sh, jnp.ones((2, 3, 1))])
+        wild_opac = jnp.concatenate([opac, jnp.full((2,), 0.9)])
+        color, depth, alpha = render(
+            wild_means, wild_covs, wild_sh, wild_opac, CAM["extrinsics"],
+            CAM["intrinsics"], (32, 32), BG, sh_degree=0, cfg=CFG,
+        )
+        assert bool(jnp.isfinite(color).all())
+        assert bool(jnp.isfinite(alpha).all())
+        # and the wild splats changed nothing vs rendering without them
+        c_ref, _, a_ref = render(
+            means, covs, sh, opac, CAM["extrinsics"], CAM["intrinsics"],
+            (32, 32), BG, sh_degree=0, cfg=CFG,
+        )
+        np.testing.assert_allclose(color, c_ref, atol=1e-5)
+        np.testing.assert_allclose(alpha, a_ref, atol=1e-5)
+
+    def test_gradients_finite_with_wild_means(self):
+        means, covs, sh, opac = make_scene(jax.random.PRNGKey(4), n=16)
+        means = means.at[0].set(jnp.array([2e22, -1e23, 5e21]))
+
+        def f(m):
+            c, _, _ = render(
+                m, covs, sh, opac, CAM["extrinsics"], CAM["intrinsics"],
+                (32, 32), BG, sh_degree=0, cfg=CFG,
+            )
+            return jnp.sum(c**2)
+
+        g = jax.grad(f)(means)
+        assert bool(jnp.isfinite(g).all())
 
 
 class TestCoverageWarnings:

@@ -201,14 +201,30 @@ def dpt_gs_head(params, cfg: DPTConfig, hook_tokens, grid_hw, images, dtype):
 # postprocess (pts3d "exp" mode + conf)
 # ---------------------------------------------------------------------------
 
-def postprocess_pts3d_exp(raw_xyz: jnp.ndarray) -> jnp.ndarray:
-    """Directional exp parameterization: xyz = (v/|v|) * expm1(|v|).
+def postprocess_pts3d_exp(
+    raw_xyz: jnp.ndarray,
+    vmin: float = 0.0,
+    vmax: float = float("inf"),
+) -> jnp.ndarray:
+    """Directional exp parameterization: xyz = (v/|v|) * clip(expm1(|v|)).
 
-    (parity: reference heads/postprocess.py:46-61, mode 'exp', no bounds)
+    (parity: reference heads/postprocess.py:46-61, mode 'exp'; the default
+    (0, inf) bounds are a no-op — expm1 of a norm is already >= 0 — matching
+    the reference's released no-bounds configs. Finite bounds reproduce the
+    clipped variant (postprocess.py:52-56), which is what makes training
+    from random init stable: unbounded exp sends splats to 1e20+ on the
+    first optimizer steps.)
     """
-    x = raw_xyz.astype(jnp.float32)
-    d = jnp.linalg.norm(x, axis=-1, keepdims=True)
-    return x / jnp.clip(d, 1e-8) * jnp.expm1(d)
+    # raw clamp makes the map inf-safe: a diverging norm-free DPT head can
+    # emit inf, and inf/inf direction = NaN would poison every grad behind
+    # it. Legitimate raw norms are O(10) (expm1(10) = 22k distance); 1e8
+    # only stops the poison, it never binds in healthy training.
+    x = jnp.clip(raw_xyz.astype(jnp.float32), -1e8, 1e8)
+    # smooth norm: jnp.linalg.norm has a NaN gradient at exactly 0, which a
+    # small-init head hits; the eps inside the sqrt keeps d and its grad
+    # finite (forward difference < 1e-6 of the exact norm)
+    d = jnp.sqrt((x * x).sum(-1, keepdims=True) + 1e-12)
+    return x / jnp.clip(d, 1e-8) * jnp.clip(jnp.expm1(d), vmin, vmax)
 
 
 def postprocess_conf_exp(raw: jnp.ndarray, vmin: float = 1.0, vmax: float = jnp.inf):

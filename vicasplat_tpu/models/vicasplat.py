@@ -56,6 +56,10 @@ class VicaSplatConfig:
     gs_param_head_type: str = "dpt_gs"
     input_mean: tuple = (0.5, 0.5, 0.5)
     input_std: tuple = (0.5, 0.5, 0.5)
+    # distance bounds for the exp pts3d parameterization (reference
+    # postprocess.py 'exp' mode vmin/vmax). Default is the released-config
+    # no-op; finite bounds stabilize training from random init.
+    pts3d_bounds: tuple = (0.0, float("inf"))
 
     @property
     def camera_extrinsic_channels(self) -> int:
@@ -220,7 +224,9 @@ def vicasplat_forward(
             center_cfg.num_channels, dtype,
         )
     center_out = _head_out(center_out)
-    gs_centers = postprocess_pts3d_exp(center_out[..., :3]).reshape(B, T, H, W, 3)
+    gs_centers = postprocess_pts3d_exp(
+        center_out[..., :3], *cfg.pts3d_bounds
+    ).reshape(B, T, H, W, 3)
     conf = (
         postprocess_conf_exp(center_out[..., 3]).reshape(B, T, H, W)
         if cfg.predict_conf

@@ -185,6 +185,17 @@ def project_gaussians(
     dx = wx - campos[0]
     dy = wy - campos[1]
     dz = wz - campos[2]
+    # overflow guard: the naive dx^2+dy^2+dz^2 overflows f32 at |mean| ~
+    # 1e19+ (early random-init training emits such splats via the exp pts3d
+    # head), and the resulting inf turns into NaN color that poisons the
+    # composite matmul even at weight 0 (0 * NaN = NaN). Clamping the
+    # components at 1e17 is exact for every sane scene (real distances are
+    # orders of magnitude smaller) and keeps the wild ones finite — they are
+    # culled by the frustum/radius masks anyway. CUDA reference culls before
+    # any per-splat math; this is our equivalent.
+    dx = jnp.clip(dx, -1e17, 1e17)
+    dy = jnp.clip(dy, -1e17, 1e17)
+    dz = jnp.clip(dz, -1e17, 1e17)
     inv_n = 1.0 / jnp.maximum(jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-8)
     dirs = jnp.stack([dx * inv_n, dy * inv_n, dz * inv_n], axis=-1)
     basis = jnp.stack(sh_basis_cols(dirs, sh_degree), axis=-1)  # (N, d)
@@ -196,6 +207,12 @@ def project_gaussians(
     # einsum in context beats the hand-SoA form. tools/jobs/053-054.)
     color = jnp.einsum("ncd,nd->nc", harmonics[..., :d], basis)
     color = jnp.maximum(color + 0.5, 0.0)
+    # culled splats must carry exactly-zero payloads: their color/conic can
+    # be inf/NaN from degenerate geometry, and NaN survives multiplication
+    # by zero weight in the compositing matmul
+    color = jnp.where(keep[:, None], color, 0.0)
+    conic = jnp.where(keep[:, None], conic, 0.0)
+    mean2d = jnp.where(keep[:, None], mean2d, 0.0)
 
     return Splats(
         mean2d=mean2d,

@@ -1,4 +1,5 @@
-"""Real spherical harmonics evaluation (degrees 0..4).
+"""Real spherical harmonics evaluation (explicit tables to degree 4, exact
+recurrence beyond — covers the reference's full rsh_cart_0..8 range).
 
 Used to turn per-Gaussian SH coefficients into view-dependent RGB, matching
 the convention of standard 3DGS renderers (the reference's CUDA rasterizers):
@@ -71,7 +72,66 @@ def sh_basis_cols(dirs: jnp.ndarray, degree: int) -> list:
             _C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy)),
         ]
     if degree >= 5:
-        raise NotImplementedError("SH degree > 4")
+        out += _sh_cols_recurrence(x, y, z, 5, degree)
+    return out
+
+
+def _sh_cols_recurrence(x, y, z, l_min: int, l_max: int) -> list:
+    """Columns for degrees l_min..l_max via the associated-Legendre
+    recurrence — covers the reference's generated rsh_cart_5..8 tables
+    (src/misc/sht.py) with a closed form instead of 1,600 lines of
+    polynomials, and extends to any degree.
+
+    Convention (matching the degree<=4 tables above and the reference):
+    real SH with Condon-Shortley phase, ordered m = -l..l:
+      Y_{l,-m} = (-1)^m sqrt(2) N_{lm} Q_l^m(z) B_m
+      Y_{l, 0} =                 N_{l0} Q_l^0(z)
+      Y_{l,+m} = (-1)^m sqrt(2) N_{lm} Q_l^m(z) A_m
+    where A_m + i B_m = (x + iy)^m, Q_l^m = P_l^m / sin^m(theta) is the
+    sectoral-factored Legendre polynomial (pure polynomial in z, SoA-safe),
+    and N_{lm} = sqrt((2l+1)/(4pi) (l-m)!/(l+m)!).
+    """
+    import math
+
+    # A_m / B_m: real/imag parts of (x+iy)^m, built iteratively
+    A = [jnp.ones_like(x), x]
+    B = [jnp.zeros_like(x), y]
+    for m in range(2, l_max + 1):
+        A.append(x * A[m - 1] - y * B[m - 1])
+        B.append(x * B[m - 1] + y * A[m - 1])
+
+    # Q_l^m(z) for all l <= l_max, m <= l (sin^m factored out):
+    #   Q_m^m     = (2m-1)!!
+    #   Q_{m+1}^m = (2m+1) z Q_m^m
+    #   Q_l^m     = ((2l-1) z Q_{l-1}^m - (l+m-1) Q_{l-2}^m) / (l-m)
+    Q = {}
+    dfact = 1.0  # (2m-1)!!
+    for m in range(0, l_max + 1):
+        Q[(m, m)] = jnp.full(x.shape, dfact, x.dtype) if m == 0 else (
+            dfact * jnp.ones_like(x)
+        )
+        if m + 1 <= l_max:
+            Q[(m + 1, m)] = (2 * m + 1) * z * Q[(m, m)]
+        for l in range(m + 2, l_max + 1):
+            Q[(l, m)] = (
+                (2 * l - 1) * z * Q[(l - 1, m)] - (l + m - 1) * Q[(l - 2, m)]
+            ) / (l - m)
+        dfact *= 2 * m + 1
+
+    out = []
+    for l in range(l_min, l_max + 1):
+        for m in range(-l, l + 1):
+            am = abs(m)
+            n_lm = math.sqrt(
+                (2 * l + 1) / (4 * math.pi)
+                * math.factorial(l - am) / math.factorial(l + am)
+            )
+            if m == 0:
+                out.append(n_lm * Q[(l, 0)])
+                continue
+            c = (-1.0) ** am * math.sqrt(2.0) * n_lm
+            sect = B[am] if m < 0 else A[am]
+            out.append(c * Q[(l, am)] * sect)
     return out
 
 

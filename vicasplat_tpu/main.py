@@ -111,7 +111,9 @@ def train(cfg):
         donate_argnums=(0, 1),
         static_argnames=("phase",),
     )
-    writer = _make_tb_writer(cfg)
+    from .utils.loggers import make_logger
+
+    writer = make_logger(cfg)
 
     def save_ckpt(step):
         import numpy as np
@@ -174,6 +176,8 @@ def train(cfg):
             # stop prefetch threads left mid-epoch by the max_steps break
             loader.close()
     save_ckpt(global_step)
+    if writer is not None:
+        writer.close()
     print("training done")
 
 
@@ -256,14 +260,12 @@ def _validation_visuals(cfg, params, dm, global_step, writer):
 
 
 def _make_tb_writer(cfg):
-    """TensorBoard scalar logging (the reference's wandb/LocalTensorboard
-    fallback, reference src/main.py:66-83); gated on tensorboard presence."""
-    try:
-        from torch.utils.tensorboard import SummaryWriter
+    """Back-compat alias; logger selection lives in utils/loggers.py
+    (wandb when configured+available, offline-JSONL wandb fallback, else
+    TensorBoard — reference src/main.py:66-83)."""
+    from .utils.loggers import make_logger
 
-        return SummaryWriter(log_dir=f"{cfg.output_dir}/tb")
-    except Exception:
-        return None
+    return make_logger(cfg)
 
 
 def _maybe_distiller(cfg):

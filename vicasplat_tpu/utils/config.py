@@ -89,6 +89,19 @@ class LossWeightsConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class WandbConfig:
+    """Experiment tracking (reference src/main.py:66-83, config/main.yaml
+    wandb block): mode 'disabled' selects local TensorBoard, anything else
+    selects wandb — the real package when importable, otherwise an offline
+    JSONL run directory with the same information (see utils/loggers.py)."""
+    mode: str = "disabled"  # disabled | online | offline
+    project: str = "vicasplat"
+    entity: Optional[str] = None
+    name: str = "run"
+    tags: tuple = ()
+
+
+@dataclasses.dataclass(frozen=True)
 class RootConfig:
     mode: str = "train"
     encoder: VicaSplatConfig = VicaSplatConfig()
@@ -103,6 +116,7 @@ class RootConfig:
     data_loader: dict = dataclasses.field(default_factory=dict)
     seed: int = 250307
     output_dir: str = "outputs"
+    wandb: WandbConfig = WandbConfig()
 
 
 # ---------------------------------------------------------------------------

@@ -243,3 +243,58 @@ class TestDegenerateTrajectories:
         assert n == 0 and np.isnan(mean)
         mean, n = _nan_summary([{"psnr": 10.0}, {"psnr": float("nan")}], "psnr")
         assert n == 1 and mean == 10.0
+
+
+class TestSsimComponents:
+    """Parity of the brightness/contrast/structure decomposition against the
+    ACTUAL reference torch implementation (src/loss/loss_ssim.py,
+    retrun_seprate=True). The reference filters without padding; our SAME
+    filtering + margin crop must agree exactly on the valid interior."""
+
+    def _ref_ssim(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_loss_ssim", "/root/reference/src/loss/loss_ssim.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.ssim
+
+    def test_parity_reference(self):
+        import torch
+
+        from vicasplat_tpu.loss.ssim import ssim_components
+
+        ref_ssim = self._ref_ssim()
+        rng = np.random.default_rng(0)
+        a = rng.random((1, 64, 64, 3), dtype=np.float32)
+        b = np.clip(a + 0.1 * rng.standard_normal(a.shape).astype(np.float32), 0, 1)
+
+        ours = ssim_components(jnp.asarray(a), jnp.asarray(b))
+        ta = torch.from_numpy(a).permute(0, 3, 1, 2)
+        tb = torch.from_numpy(b).permute(0, 3, 1, 2)
+        s, bright, contrast, structure = ref_ssim(
+            ta, tb, data_range=1.0, size_average=True, retrun_seprate=True
+        )
+        assert abs(float(ours["ssim"]) - float(s)) < 2e-5
+        assert abs(float(ours["brightness"]) - float(bright)) < 2e-5
+        assert abs(float(ours["contrast"]) - float(contrast)) < 2e-5
+        assert abs(float(ours["structure"]) - float(structure)) < 2e-5
+
+    def test_identity_properties(self):
+        from vicasplat_tpu.loss.ssim import ssim_components
+
+        rng = np.random.default_rng(1)
+        img = jnp.asarray(rng.random((1, 48, 48, 3), dtype=np.float32))
+        c = ssim_components(img, img)
+        assert float(c["ssim"]) > 0.999
+        assert float(c["brightness"]) > 0.999
+        # contrast/structure are clamped at 0.98 by the reference protocol
+        assert abs(float(c["contrast"]) - 0.98) < 1e-5
+        assert abs(float(c["structure"]) - 0.98) < 1e-5
+        # a brightness shift hurts brightness but not structure
+        shifted = jnp.clip(img + 0.2, 0, 1)
+        cs = ssim_components(img, shifted)
+        assert float(cs["brightness"]) < float(c["brightness"]) - 0.01
+        assert float(cs["structure"]) > 0.9

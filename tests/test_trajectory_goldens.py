@@ -189,3 +189,37 @@ class TestPoseMetricsSchema:
         for key in ("ate", "rpe_trans", "rpe_rot",
                     "auc@5", "auc@10", "auc@20", "auc@30"):
             assert key in data, f"pose_metrics.json missing {key}"
+
+
+class TestPoseRefinement:
+    def test_refine_runs_with_structure_term(self):
+        """refine_steps>0 path: render-and-compare SE(3) refinement with the
+        reference's (1 - SSIM structure) objective (pose_evaluator.py:130-141)
+        must run and return finite, non-identical poses."""
+        import jax
+        import jax.numpy as jnp
+
+        from tests.test_model import tiny_batch, tiny_cfg
+        from vicasplat_tpu.decoder.splatting import DecoderSplattingConfig
+        from vicasplat_tpu.evaluation.pose_evaluator import (
+            PoseEvalConfig,
+            PoseEvaluator,
+        )
+        from vicasplat_tpu.models import init_vicasplat
+
+        cfg = tiny_cfg()
+        params = init_vicasplat(jax.random.PRNGKey(0), cfg)
+        batch = tiny_batch(jax.random.PRNGKey(1), B=1)
+        ctx = dict(
+            batch,
+            image=(batch["image"] + 1) / 2,
+            near=jnp.full((1, 3), 0.1),
+            far=jnp.full((1, 3), 100.0),
+        )
+        ev = PoseEvaluator(
+            params, cfg, DecoderSplattingConfig(),
+            PoseEvalConfig(refine_steps=2),
+        )
+        result = ev.evaluate_batch({"context": ctx, "scene": ["t"]})
+        for k in ("ate", "rpe_trans", "rpe_rot"):
+            assert k in result

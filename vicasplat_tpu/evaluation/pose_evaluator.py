@@ -92,7 +92,16 @@ class PoseEvaluator:
                 tgt["near"], tgt["far"], (h, w),
                 cam_rot_delta=deltas["rot"], cam_trans_delta=deltas["trans"],
             )
-            return ((rendered.color - tgt["image"]) ** 2).mean()
+            mse = ((rendered.color - tgt["image"]) ** 2).mean()
+            # reference pose_evaluator.py:136-141 adds an SSIM structure
+            # term (1 - structure) on top of the configured image losses
+            from ..loss.ssim import ssim_components
+
+            structure = ssim_components(
+                rendered.color.reshape(-1, h, w, 3),
+                tgt["image"].reshape(-1, h, w, 3),
+            )["structure"]
+            return mse + (1.0 - structure)
 
         b, v = tgt["extrinsics"].shape[:2]
         deltas = {"rot": jnp.zeros((b, v, 3)), "trans": jnp.zeros((b, v, 3))}

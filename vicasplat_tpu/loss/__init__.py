@@ -8,4 +8,4 @@ from .losses import (  # noqa: F401
     mse_loss,
     total_loss,
 )
-from .ssim import ssim  # noqa: F401
+from .ssim import ssim, ssim_components  # noqa: F401

@@ -56,3 +56,61 @@ def ssim(
         (mu_x2 + mu_y2 + c1) * (sigma_x + sigma_y + c2)
     )
     return ssim_map.mean()
+
+
+def ssim_components(
+    img1: jnp.ndarray,  # (..., H, W, C) in [0, 1]
+    img2: jnp.ndarray,
+    window_size: int = 11,
+    sigma: float = 1.5,
+    c1: float = 0.01**2,
+    c2: float = 0.03**2,
+) -> dict:
+    """SSIM decomposed into brightness / contrast / structure terms.
+
+    Parity target: reference src/loss/loss_ssim.py:106-125
+    (`retrun_seprate=True`): sign-corrected sigma12 bounded by the
+    Cauchy-Schwarz limit, C3 = C2/2, contrast & structure clamped at 0.98.
+    Used by pose-opt objectives that optimize structure alone (the reference
+    `SSIM` class exposes these; our `ssim()` keeps the fast mean-only path).
+
+    The reference filters without padding, so its maps cover only the valid
+    interior; we filter SAME (interior values are identical) and crop the
+    window_size//2 margin before reducing — means match the reference
+    exactly, unlike `ssim()` which averages borders too.
+
+    Returns dict of scalars: ssim, brightness, contrast, structure, cs.
+    """
+    h, w, c = img1.shape[-3:]
+    x = img1.reshape(-1, h, w, c).astype(jnp.float32)
+    y = img2.reshape(-1, h, w, c).astype(jnp.float32)
+    k = _gaussian_kernel(window_size, sigma)
+
+    m = window_size // 2
+    crop = lambda t: t[:, m : h - m, m : w - m, :]  # noqa: E731
+    mu_x = crop(_filter2d_separable(x, k))
+    mu_y = crop(_filter2d_separable(y, k))
+    mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
+    sigma_x = crop(_filter2d_separable(x * x, k)) - mu_x2
+    sigma_y = crop(_filter2d_separable(y * y, k)) - mu_y2
+    sigma_xy = crop(_filter2d_separable(x * y, k)) - mu_xy
+
+    cs_map = (2 * sigma_xy + c2) / (sigma_x + sigma_y + c2)
+    lum_map = (2 * mu_xy + c1) / (mu_x2 + mu_y2 + c1)
+
+    eps = jnp.float32(np.finfo(np.float32).eps) ** 2
+    sx = jnp.maximum(sigma_x, eps)
+    sy = jnp.maximum(sigma_y, eps)
+    sxy_bound = jnp.sqrt(sx * sy)
+    sxy = jnp.sign(sigma_xy) * jnp.minimum(sxy_bound, jnp.abs(sigma_xy))
+    c3 = c2 / 2
+    contrast_map = jnp.minimum((2 * sxy_bound + c2) / (sx + sy + c2), 0.98)
+    structure_map = jnp.minimum((sxy + c3) / (sxy_bound + c3), 0.98)
+
+    return {
+        "ssim": (lum_map * cs_map).mean(),
+        "cs": cs_map.mean(),
+        "brightness": lum_map.mean(),
+        "contrast": contrast_map.mean(),
+        "structure": structure_map.mean(),
+    }

@@ -50,10 +50,22 @@ class Benchmarker:
         return out
 
     def summarize(self) -> dict:
-        return {
-            tag: {"count": len(v), "mean_s": sum(v) / len(v), "total_s": sum(v)}
-            for tag, v in self.execution_times.items()
-        }
+        """Per-tag stats. The first call of a jitted tag is dominated by XLA
+        compilation (measured: 3.6 s vs 40 ms warm at count=3 in
+        outputs/tpu_eval_proof round 2), so `mean_warm_s` drops call 0
+        whenever there is more than one sample; `calls_s` keeps the raw
+        per-call list so the artifact is never compile-polluted silently."""
+        out = {}
+        for tag, v in self.execution_times.items():
+            warm = v[1:] if len(v) > 1 else v
+            out[tag] = {
+                "count": len(v),
+                "mean_s": sum(v) / len(v),
+                "mean_warm_s": sum(warm) / len(warm),
+                "total_s": sum(v),
+                "calls_s": [round(t, 6) for t in v],
+            }
+        return out
 
     def dump(self, path) -> None:
         path = pathlib.Path(path)

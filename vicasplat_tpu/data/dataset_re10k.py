@@ -23,7 +23,7 @@ import numpy as np
 from PIL import Image
 
 from ..geometry_np import get_fov_np, camera_normalization_np
-from .shims import apply_augmentation_shim, apply_crop_shim
+from .shims import _REFLECT, rescale_and_crop_u8
 from .view_samplers import NotEnoughFramesError, ViewSampler
 
 
@@ -62,11 +62,19 @@ def convert_poses(poses: np.ndarray):
 
 def decode_jpegs(raw_list) -> np.ndarray:
     """list of raw-JPEG byte arrays -> (V, H, W, 3) float32 [0, 1]."""
+    return decode_jpegs_u8(raw_list).astype(np.float32) / 255.0
+
+
+def decode_jpegs_u8(raw_list) -> np.ndarray:
+    """list of raw-JPEG byte arrays -> (V, H, W, 3) uint8. The hot path
+    stays u8 until after resize+crop (shims.rescale_and_crop_u8): full-res
+    f32 intermediates dominated the 1-core pipeline profile 4:1 over the
+    actual JPEG decode."""
     images = []
     for raw in raw_list:
         buf = np.asarray(raw, dtype=np.uint8).tobytes()
         img = Image.open(io.BytesIO(buf)).convert("RGB")
-        images.append(np.asarray(img, dtype=np.float32) / 255.0)
+        images.append(np.asarray(img))
     return np.stack(images)
 
 
@@ -184,8 +192,8 @@ class DatasetRE10k:
         if np.degrees(get_fov_np(intrinsics)).max() > cfg.max_fov:
             return None
         try:
-            ctx_images = decode_jpegs([raw["images"][i] for i in ctx_idx])
-            tgt_images = decode_jpegs([raw["images"][i] for i in tgt_idx])
+            ctx_images = decode_jpegs_u8([raw["images"][i] for i in ctx_idx])
+            tgt_images = decode_jpegs_u8([raw["images"][i] for i in tgt_idx])
         except (IndexError, OSError):
             return None
         hw_in = cfg.input_image_shape
@@ -209,21 +217,36 @@ class DatasetRE10k:
                 extrinsics[ctx_idx[0]], extrinsics
             )
 
+        # x-reflection augmentation (augmentation_shim.py:8-37), decided
+        # here but applied on the u8 frames below — flipping full-res f32
+        # images cost more than the JPEG decode itself. Same rng draw
+        # sequence as the generic shim (nothing touches rng in between).
+        flip = (self.stage == "train" and cfg.augment
+                and not (rng.random() < 0.5))
+        if flip:
+            ctx_images = ctx_images[:, :, ::-1]
+            tgt_images = tgt_images[:, :, ::-1]
+            extrinsics = _REFLECT @ extrinsics @ _REFLECT
+
+        shape = tuple(cfg.input_image_shape)
+
         def views(idx, images):
+            # u8 resize+crop fast path: bit-exact with
+            # apply_crop_shim(rescale_and_crop) on u8-decoded input
+            images, K = rescale_and_crop_u8(
+                np.ascontiguousarray(images), intrinsics[idx], shape
+            )
             return {
                 "extrinsics": extrinsics[idx].astype(np.float32),
-                "intrinsics": intrinsics[idx].astype(np.float32),
-                "image": images.astype(np.float32),
+                "intrinsics": K.astype(np.float32),
+                "image": images,
                 "near": np.full(len(idx), cfg.near / scale, np.float32),
                 "far": np.full(len(idx), cfg.far / scale, np.float32),
                 "index": np.asarray(idx, np.int64),
             }
 
-        example = {
+        return {
             "context": views(ctx_idx, ctx_images),
             "target": views(tgt_idx, tgt_images),
             "scene": scene,
         }
-        if self.stage == "train" and cfg.augment:
-            example = apply_augmentation_shim(example, rng)
-        return apply_crop_shim(example, tuple(cfg.input_image_shape))

@@ -22,9 +22,18 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def real_frames():
-    from demo import load_images
+    # import the REPO's demo.py by path: ref_shims puts /root/reference
+    # (which ships its own demo.py) at sys.path[0], so a bare
+    # `import demo` resolves to the reference's gradio demo when the
+    # parity tests run first in the same session
+    import importlib.util
 
-    return load_images(SCENE, size=64)
+    spec = importlib.util.spec_from_file_location(
+        "vicasplat_tpu_demo", pathlib.Path(__file__).parents[1] / "demo.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.load_images(SCENE, size=64)
 
 
 class TestRealScene:

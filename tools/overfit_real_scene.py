@@ -42,6 +42,13 @@ def parse_args(argv=None):
     ap.add_argument("--warmup", type=int, default=100)
     ap.add_argument("--fov", type=float, default=60.0)
     ap.add_argument("--log_every", type=int, default=100)
+    # frames unlock progressively: frames {0,1} from step 0, one more every
+    # N steps. Joint pose+scene self-supervision from random init falls
+    # into an all-frames-at-identity minimum on scenes with larger motion
+    # (05b1462991e38e4d: poses diverged, PSNR stuck at 5 — frames 1..7
+    # rendered nothing while frame 0 hit 21.8); adjacent-frame growth keeps
+    # each newly-activated pose near its converged neighbor. 0 = off.
+    ap.add_argument("--frame_curriculum", type=int, default=0)
     ap.add_argument("--output_dir", default="outputs/real_scene_overfit")
     return ap.parse_args(argv)
 
@@ -115,22 +122,30 @@ def main(argv=None):
     opt = optax.adamw(sched, b1=0.9, b2=0.99, weight_decay=1e-4)
     opt_state = opt.init(params)
 
-    def loss_fn(p):
+    def loss_fn(p, it):
         out = vicasplat_forward(p, cfg, batch, dtype=jnp.bfloat16)
         rendered = decoder_forward(
             dec_cfg, out["gaussians"], out["gaussian_camera_extrins"],
             batch["intrinsics"], near, far, (S, S),
         )
-        mse = jnp.mean((rendered.color - gt) ** 2)
-        dssim = 1.0 - ssim(rendered.color.reshape(-1, S, S, 3),
-                           gt.reshape(-1, S, S, 3))
+        if args.frame_curriculum > 0:
+            n_active = 2 + it // args.frame_curriculum
+            w = (jnp.arange(T) < n_active).astype(jnp.float32)
+        else:
+            w = jnp.ones((T,), jnp.float32)
+        wn = w / w.sum()
+        mse_t = jnp.mean((rendered.color - gt) ** 2, axis=(0, 2, 3, 4))  # (T,)
+        ssim_t = jax.vmap(ssim)(rendered.color[0], gt[0])  # (T,)
+        mse = jnp.sum(wn * mse_t)
+        dssim = 1.0 - jnp.sum(wn * ssim_t)
         loss = 0.8 * mse + 0.2 * dssim
-        psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+        # reported PSNR stays all-frames for comparability across runs
+        psnr = -10.0 * jnp.log10(jnp.maximum(jnp.mean(mse_t), 1e-10))
         return loss, psnr
 
     @jax.jit
-    def step(p, s):
-        (loss, psnr), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+    def step(p, s, it):
+        (loss, psnr), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, it)
         # non-finite guard FIRST (random-init geometry sends splats through
         # the near plane; projection grads can be inf, and inf * clip-scale
         # = NaN), then clip: same order as training/step.py:195-198
@@ -150,7 +165,9 @@ def main(argv=None):
     history = []
     t0 = time.perf_counter()
     for i in range(args.steps):
-        params, opt_state, loss, psnr, gnorm, n_bad = step(params, opt_state)
+        params, opt_state, loss, psnr, gnorm, n_bad = step(
+            params, opt_state, jnp.int32(i)
+        )
         if i % args.log_every == 0 or i == args.steps - 1:
             loss, psnr = float(loss), float(psnr)
             print(f"step {i:5d}  loss {loss:.4f}  psnr {psnr:.2f}  "

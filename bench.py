@@ -101,18 +101,49 @@ def main():
                                            params, batch))).sum()
         return time.perf_counter() - t0
 
-    base_n, n_iters = 2, 12
-    run(base_n), run(n_iters)  # compile + first-dispatch warmup
-    dt = min(
-        (run(n_iters) - run(base_n)) / (n_iters - base_n) for _ in range(2)
-    )
+    result = {"metric": "re10k_8view_e2e_latency", "unit": "s"}
+    try:
+        base_n, n_iters = 2, 12
+        run(base_n), run(n_iters)  # compile + first-dispatch warmup
+        dt = min(
+            (run(n_iters) - run(base_n)) / (n_iters - base_n) for _ in range(2)
+        )
+    except Exception as e:  # pragma: no cover - tunnel-dependent
+        # The axon pool's remote-compile service drops very long compile
+        # requests (~29 min: Broken pipe) and the scan-wrapped e2e graph
+        # can exceed that when the persistent cache is cold. Fall back to
+        # dispatch-differenced timing: on this tunnel dispatches do NOT
+        # pipeline, so T(dispatch) = overhead + compute; subtracting a
+        # trivial dispatch's time cancels the ~50-70 ms overhead. Noisier
+        # than the in-scan method (~±10%) but it keeps the benchmark
+        # producing an honest number instead of nothing.
+        import sys
 
-    print(json.dumps({
-        "metric": "re10k_8view_e2e_latency",
-        "value": round(dt, 5),
-        "unit": "s",
-        "vs_baseline": round(0.1 / dt, 3),
-    }))
+        print(f"scan-method failed ({type(e).__name__}); "
+              f"falling back to dispatch differencing", file=sys.stderr)
+        fe2e = jax.jit(e2e)
+        trivial = jax.jit(lambda x: x + 1.0)
+        tiny = jnp.zeros((8, 128), jnp.float32)
+        import numpy as np
+
+        def t_dispatch(f, *a):
+            out = f(*a)
+            np.asarray(jax.device_get(jax.tree.leaves(out)[0]))
+
+        t_dispatch(fe2e, params, batch), t_dispatch(trivial, tiny)  # warm
+        def timed(f, *a):
+            t0 = time.perf_counter()
+            t_dispatch(f, *a)
+            return time.perf_counter() - t0
+
+        t_full = min(timed(fe2e, params, batch) for _ in range(10))
+        t_overhead = min(timed(trivial, tiny) for _ in range(10))
+        dt = t_full - t_overhead
+        result["method"] = "dispatch_fallback"
+
+    result["value"] = round(dt, 5)
+    result["vs_baseline"] = round(0.1 / dt, 3)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -19,15 +19,18 @@ intermediates round-trip HBM. This kernel keeps everything in VMEM:
     matmul trick from the XLA path (MXU work), evaluated per tile as a
     batched (P, G) x (G, G) dot.
 
-STATUS (round 2, measured with honest in-jit timing): this kernel remains
-EXPERIMENTAL and the XLA path is production. At (256 tiles, K=512) the XLA
-matmul composite runs 0.79 ms/view; this kernel measured 90-100 ms/view
-(chunk 64/128) — the per-tile (P, G) ops appear to hit a Mosaic slow path —
-and straight-line/fori ablations (tools/jobs/038) wedged the TPU runtime
-outright (the worker had to be killed). v1 (one tile per grid step, chunk
-axis in the grid) lost 15x to XLA for the same reason. The composite is
-<12% of render time, so further kernel work is parked; the binning sort is
-the floor.
+STATUS (round 3): the kernel BEATS the XLA composite after switching the
+tile payload block to SoA — (16, K) field ROWS with lanes along the K
+splats — instead of the round-2 (K, 16) layout whose per-field extraction
+`pc[:, i]` is a sublane-strided slice wasting 7/8 of every 128-lane
+register (that variant measured 90-100 ms/view; straight-line/fori
+ablations of it, tools/jobs/038, wedged the TPU runtime). Measured on the
+production shape (256 tiles, K=512, P=256, flagship-scene payload,
+tools/jobs/068b): XLA 0.855 ms/view; SoA kernel 0.424 ms (chunk 128) /
+0.478 ms (chunk 256), bit-identical output (max abs diff 0.0 on rgb,
+depth, alpha), +0.077 ms for the AoS->SoA transpose of the binning output.
+Early exit via fori_loop+cond skipping chunks once every pixel in the tile
+saturates.
 
 The backward rematerializes through the (numerically identical) XLA path via
 custom_vjp, so training gradients are unchanged while inference gets the
@@ -55,13 +58,16 @@ _LOG_T_EPS = math.log(1e-4)  # stop once max transmittance under this
 
 def _kernel(payload_ref, out_ref, *, tile_px: int, chunk: int, n_chunks: int,
             tiles_x: int):
-    """Grid = (num_tiles,). payload_ref: (K, 16) — the tile's FULL binned
-    payload as one pipelined VMEM block (32 KB at K=512), so the next tile's
-    DMA overlaps this tile's compute. Blocks are 2D slices of a flattened
-    (T*K, 16) operand: Mosaic stack-accounts leading-1 3D blocks at ~13x
-    their size (measured 108 MB scoped vmem for an 8.4 MB operand), while 2D
-    blocks are accounted exactly. A fori_loop walks K in G-splat chunks with
-    2D (P, G) math and skips chunks once every pixel is saturated — per-tile
+    """Grid = (num_tiles,). payload_ref: (16, K) SoA — the tile's FULL
+    binned payload as one pipelined VMEM block (32 KB at K=512), fields as
+    ROWS and vector lanes running along the K splats, so every per-splat
+    field read `payload_ref[i:i+1, sl]` is a full-lane (1, G) row (the
+    transposed (K, 16) layout made each field a sublane-strided slice and
+    ran 200x slower). Blocks are 2D slices of a flattened (T*16, K)
+    operand: Mosaic stack-accounts leading-1 3D blocks at ~13x their size
+    (measured 108 MB scoped vmem for an 8.4 MB operand), while 2D blocks
+    are accounted exactly. A fori_loop walks K in G-splat chunks with 2D
+    (P, G) math and skips chunks once every pixel is saturated — per-tile
     early exit."""
     P = tile_px * tile_px
     G = chunk
@@ -88,7 +94,7 @@ def _kernel(payload_ref, out_ref, *, tile_px: int, chunk: int, n_chunks: int,
 
         def composite(args):
             log_t, rgbd = args
-            pc = payload_ref[pl.ds(j * G, G), :]  # (G, 16)
+            pc = payload_ref[:, pl.ds(j * G, G)]  # (16, G) SoA rows
             return _chunk_math(pc, px, py, tri, log_t, rgbd)
 
         # per-tile early exit: skip the chunk once every pixel is saturated
@@ -115,13 +121,14 @@ def _kernel(payload_ref, out_ref, *, tile_px: int, chunk: int, n_chunks: int,
 
 def _chunk_math(pc, px, py, tri, log_t, rgbd):
     """One G-splat chunk of front-to-back compositing over P pixels.
-    pc: (G, 16); px/py: (P, 1); tri: (G, G) strictly-upper ones."""
-    mx = pc[:, 0][None, :]
-    my = pc[:, 1][None, :]
-    ca = pc[:, 2][None, :]
-    cb = pc[:, 3][None, :]
-    cc = pc[:, 4][None, :]
-    alp = pc[:, 5][None, :]
+    pc: (16, G) SoA field rows; px/py: (P, 1); tri: (G, G) strictly-upper
+    ones."""
+    mx = pc[0:1, :]   # (1, G) full-lane rows
+    my = pc[1:2, :]
+    ca = pc[2:3, :]
+    cb = pc[3:4, :]
+    cc = pc[4:5, :]
+    alp = pc[5:6, :]
 
     dx = px - mx  # (P, G)
     dy = py - my
@@ -133,11 +140,12 @@ def _chunk_math(pc, px, py, tri, log_t, rgbd):
     prefix = jnp.dot(logom, tri, preferred_element_type=jnp.float32)
     w = jnp.exp(log_t + prefix) * a
 
-    feats = pc[:, 6:10]  # (G, 4)
-    return (
-        log_t + jnp.sum(logom, axis=1, keepdims=True),
-        rgbd + jnp.dot(w, feats, preferred_element_type=jnp.float32),
-    )
+    feats = pc[6:10, :]  # (4, G)
+    rgbd = rgbd + jax.lax.dot_general(
+        w, feats, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (P, 4)
+    return log_t + jnp.sum(logom, axis=1, keepdims=True), rgbd
 
 
 def _composite_pallas_raw(payload: jnp.ndarray, tile_px: int, chunk: int,
@@ -150,12 +158,16 @@ def _composite_pallas_raw(payload: jnp.ndarray, tile_px: int, chunk: int,
         tiles_x=tiles_x,
     )
     interpret = jax.default_backend() == "cpu"  # tests run interpreted
+    # AoS -> SoA: (T, K, 16) -> (T, 16, K). The transpose costs 0.077 ms on
+    # the production payload — 6x cheaper than what the SoA layout saves
+    # inside the kernel.
+    payload_soa = jnp.swapaxes(payload, 1, 2)
     out = pl.pallas_call(
         kernel,
         interpret=interpret,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((K, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((P, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -168,7 +180,7 @@ def _composite_pallas_raw(payload: jnp.ndarray, tile_px: int, chunk: int,
             bytes_accessed=num_tiles * K * C * 4 + num_tiles * P * 8 * 4,
             transcendentals=num_tiles * P * K,
         ),
-    )(payload.reshape(num_tiles * K, C))
+    )(payload_soa.reshape(num_tiles * C, K))
     return out.reshape(num_tiles, P, 8)
 
 

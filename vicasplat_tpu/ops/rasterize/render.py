@@ -33,10 +33,16 @@ class RasterizeConfig:
     # tools/jobs/022), so the exact-f32 path stays the default; the packed
     # path (alpha/color rounded to bf16) remains available and tested.
     packed_gather: bool = False
-    # "pallas": fused per-tile kernel with early termination (forward; the
-    # backward rematerializes through the XLA path). "xla": pure-XLA matmul
-    # compositing. Pallas requires a *static* background color (a tuple).
-    backend: str = "xla"
+    # "pallas": fused per-tile SoA kernel with early termination (forward;
+    # the backward rematerializes through the XLA path — gradients match).
+    # "xla": pure-XLA matmul compositing. "auto": pallas on accelerators,
+    # xla on CPU (resolved at trace time). The SoA kernel measured 0.424 ms
+    # vs XLA's 0.855 ms on the production (256 tiles, K=512) payload with
+    # bit-identical output (tools/jobs/068b).
+    backend: str = "auto"
+    # compositing chunk for the pallas kernel; smaller chunks exit earlier
+    # on saturated tiles (128 beat 256 by 11% on the flagship payload)
+    pallas_chunk: int = 128
 
 
 def render_view(
@@ -59,14 +65,25 @@ def render_view(
     )
     bins = bin_splats(splats, image_shape, cfg.tile_px, cfg.dup_hw,
                       cfg.max_per_tile, packed_gather=cfg.packed_gather)
-    if cfg.backend == "pallas":
+    backend = cfg.backend
+    if backend == "auto":
+        # resolved at trace time: the fused kernel on accelerators, the
+        # pure-XLA path on CPU (where pallas would run interpreted and the
+        # XLA matmul path is the fast one)
+        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if backend == "pallas" and isinstance(background, jax.core.Tracer):
+        # the kernel needs the background as a static tuple; callers that
+        # trace it (e.g. a learnable background) keep the XLA path
+        backend = "xla"
+    if backend == "pallas":
         from .pallas_composite import composite_tiles_pallas
 
         bg = tuple(float(x) for x in background) if not isinstance(
             background, tuple
         ) else background
+        chunk = min(cfg.pallas_chunk, cfg.max_per_tile)
         return composite_tiles_pallas(
-            bins, tuple(image_shape), cfg.tile_px, bg, cfg.chunk
+            bins, tuple(image_shape), cfg.tile_px, bg, chunk
         )
     return composite_tiles(
         bins, image_shape, cfg.tile_px, jnp.asarray(background, jnp.float32),

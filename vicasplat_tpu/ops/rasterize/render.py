@@ -33,13 +33,18 @@ class RasterizeConfig:
     # tools/jobs/022), so the exact-f32 path stays the default; the packed
     # path (alpha/color rounded to bf16) remains available and tested.
     packed_gather: bool = False
+    # "xla": pure-XLA matmul compositing — the production default.
     # "pallas": fused per-tile SoA kernel with early termination (forward;
     # the backward rematerializes through the XLA path — gradients match).
-    # "xla": pure-XLA matmul compositing. "auto": pallas on accelerators,
-    # xla on CPU (resolved at trace time). The SoA kernel measured 0.424 ms
-    # vs XLA's 0.855 ms on the production (256 tiles, K=512) payload with
-    # bit-identical output (tools/jobs/068b).
-    backend: str = "auto"
+    # "auto": pallas on accelerators, xla on CPU (resolved at trace time).
+    # The SoA kernel wins in isolation (0.424 ms vs 0.855 ms on the
+    # production 256-tile K=512 payload, bit-identical output,
+    # tools/jobs/068b) but LOSES end-to-end (12-view render 52.98 vs
+    # 52.09 ms, e2e 100.3 vs 97.7 ms, tools/jobs/070): the pallas_call
+    # boundary forces the binning gather's output to materialize in HBM
+    # (+an AoS->SoA transpose), while XLA fuses the gather epilogue into
+    # its composite. Kept as a validated exact alternate backend.
+    backend: str = "xla"
     # compositing chunk for the pallas kernel; smaller chunks exit earlier
     # on saturated tiles (128 beat 256 by 11% on the flagship payload)
     pallas_chunk: int = 128

@@ -49,6 +49,12 @@ def parse_args(argv=None):
     # rendered nothing while frame 0 hit 21.8); adjacent-frame growth keeps
     # each newly-activated pose near its converged neighbor. 0 = off.
     ap.add_argument("--frame_curriculum", type=int, default=0)
+    # pose-only warm-up for ramping frames: while a frame's curriculum
+    # weight is < 1, its rendered loss sees the Gaussians through
+    # stop_gradient — it can only move the pose head, not wreck shared
+    # geometry (the 071 collapse: a newly-unlocked far frame's photometric
+    # gradient destroyed the converged scene).
+    ap.add_argument("--pose_only_warmup", action="store_true")
     ap.add_argument("--output_dir", default="outputs/real_scene_overfit")
     return ap.parse_args(argv)
 
@@ -128,14 +134,35 @@ def main(argv=None):
             dec_cfg, out["gaussians"], out["gaussian_camera_extrins"],
             batch["intrinsics"], near, far, (S, S),
         )
+        if args.pose_only_warmup and args.frame_curriculum > 0:
+            # second render whose gradient reaches ONLY the poses; ramping
+            # frames (w < 1) use it, mature frames keep full gradients
+            g_frozen = jax.tree.map(jax.lax.stop_gradient, out["gaussians"])
+            rendered_pose = decoder_forward(
+                dec_cfg, g_frozen, out["gaussian_camera_extrins"],
+                batch["intrinsics"], near, far, (S, S),
+            )
         if args.frame_curriculum > 0:
-            n_active = 2 + it // args.frame_curriculum
-            w = (jnp.arange(T) < n_active).astype(jnp.float32)
+            # frame t >= 2 ramps linearly from 0 at step (t-1)*N to full
+            # weight at t*N. The 069/071 step-function unlock collapsed
+            # training the moment frame 6 switched on (PSNR 13.9 -> 5.0,
+            # gnorm spikes to 4e3): a brand-new frame at full weight yanks
+            # the shared pose head off the converged solution. A ramp
+            # introduces each frame's gradient gradually.
+            N_c = args.frame_curriculum
+            t_idx = jnp.arange(T)
+            start = jnp.maximum(t_idx - 1, 0) * N_c
+            w = jnp.clip((it - start) / N_c, 0.0, 1.0)
+            w = jnp.where(t_idx < 2, 1.0, w).astype(jnp.float32)
         else:
             w = jnp.ones((T,), jnp.float32)
         wn = w / w.sum()
-        mse_t = jnp.mean((rendered.color - gt) ** 2, axis=(0, 2, 3, 4))  # (T,)
-        ssim_t = jax.vmap(ssim)(rendered.color[0], gt[0])  # (T,)
+        color = rendered.color
+        if args.pose_only_warmup and args.frame_curriculum > 0:
+            mature = (w >= 1.0)[None, :, None, None, None]
+            color = jnp.where(mature, rendered.color, rendered_pose.color)
+        mse_t = jnp.mean((color - gt) ** 2, axis=(0, 2, 3, 4))  # (T,)
+        ssim_t = jax.vmap(ssim)(color[0], gt[0])  # (T,)
         mse = jnp.sum(wn * mse_t)
         dssim = 1.0 - jnp.sum(wn * ssim_t)
         loss = 0.8 * mse + 0.2 * dssim

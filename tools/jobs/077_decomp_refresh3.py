@@ -1,16 +1,11 @@
-"""Round-3 perf decomposition refresh (attempt 3; see 067*.out).
+"""Round-3 perf decomposition refresh, attempt 3 (see 067*.out, 072/076).
 
-Attempts 1-2 died in `remote_compile: Broken pipe` ~29 min into the
-scan-wrapped forward compile. The difference vs job 070 (whose scan(e2e)
-compiled in minutes): 067 wrapped the already-jitted `fwd` inside
-device_time's scan body (nested jit). This version calls
-vicasplat_forward directly in every timed body.
-
-Re-derives the render/forward decomposition that DESIGN.md §7 + CLAUDE.md
-still quote from the 126-ms era (VERDICT r2 weak #5), on the REAL flagship
-scene shape: 8-frame 256^2 forward -> 524288 gaussians -> 12-view render.
-Also dumps coverage_stats (truncated_frac / tile_overflow_frac) for the
-flagship scene to outputs/perf_decomposition/.
+Attempts 1-2 hung the tunnel's remote compile. Root cause: timed closures
+captured large arrays (the 578M-param pytree; the (N,3,25) SH table),
+which jit embeds as HLO constants and the compile service drops the
+ballooned request. Every body here takes its big operands as arguments.
+Re-derives the forward/e2e/render decomposition at the current state on
+the flagship scene shape, dumps coverage_stats, then runs bench.main().
 """
 import sys
 for m in [k for k in sys.modules if k.startswith("vicasplat_tpu") or k in ("benchlib", "bench")]:
@@ -38,6 +33,18 @@ from vicasplat_tpu.ops.rasterize.tiles import composite_tiles, TileBins
 
 results = {}
 
+
+def tm(name, fn, *args, iters=20, base=2):
+    try:
+        t = device_time(fn, *args, iters=iters, base=base, repeats=2)
+    except Exception as e:
+        print(f"{name:16s} FAILED: {type(e).__name__}: {str(e)[:160]}", flush=True)
+        return None
+    results[name + "_ms"] = t * 1e3
+    print(f"{name:16s} {t*1e3:8.2f} ms", flush=True)
+    return t
+
+
 # ---- flagship scene: forward on 8 frames @ 256^2 (bench.py config) ----
 cfg = VicaSplatConfig(backbone=VicaNetConfig(),
                       gaussian_adapter=GaussianAdapterConfig(sh_degree=4))
@@ -52,32 +59,29 @@ tgt_ext = tgt_ext.at[:, :, 2, 3].set(jnp.linspace(0.0, 0.5, V)[None])
 tgt_K = jnp.broadcast_to(K[:, :1], (B, V, 3, 3))
 dec_cfg = DecoderSplattingConfig()
 
-fwd = jax.jit(lambda im, p: vicasplat_forward(
-    p, cfg, {"image": im, "intrinsics": K}, dtype=jnp.bfloat16))
-out = fwd(imgs, params)
-g = out["gaussians"]
-sync(g.means[0, 0, 0])
 
-def fwd_direct(im):
-    return vicasplat_forward(params, cfg, {"image": im, "intrinsics": K},
+def fwd_fn(im, p):
+    return vicasplat_forward(p, cfg, {"image": im, "intrinsics": K},
                              dtype=jnp.bfloat16)
 
 
-t_fwd = device_time(fwd_direct, imgs, iters=20, repeats=2)
-results["forward_ms"] = t_fwd * 1e3
-print(f"forward:      {t_fwd*1e3:7.2f} ms")
+out = jax.jit(fwd_fn)(imgs, params)
+g = out["gaussians"]
+sync(g.means[0, 0, 0])
+
+tm("forward", fwd_fn, imgs, params)
 
 
 def e2e(im, p):
-    o = vicasplat_forward(p, cfg, {"image": im, "intrinsics": K}, dtype=jnp.bfloat16)
+    o = vicasplat_forward(p, cfg, {"image": im, "intrinsics": K},
+                          dtype=jnp.bfloat16)
     r = decoder_forward(dec_cfg, o["gaussians"], tgt_ext, tgt_K,
-                        jnp.ones((B, V)), jnp.full((B, V), 100.0), (size, size))
+                        jnp.ones((B, V)), jnp.full((B, V), 100.0),
+                        (size, size))
     return r.color, o["gaussian_camera_extrins"]
 
 
-t_e2e = device_time(e2e, imgs, params, iters=20, repeats=2)
-results["e2e_ms"] = t_e2e * 1e3
-print(f"e2e:          {t_e2e*1e3:7.2f} ms")
+tm("e2e", e2e, imgs, params)
 
 # ---- render decomposition on the forward's actual gaussians ----
 N = B * T * size * size
@@ -93,20 +97,20 @@ Kmat = jnp.array([[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]])
 H = W = size
 rcfg = RasterizeConfig()
 
-t = device_time(lambda e, k2: render(means, cov, sh, opac, e, k2, (H, W),
-                                     jnp.zeros(3), 4, cfg=rcfg, cov6=cov6),
-                tgt_ext[0], tgt_K[0], iters=10, base=2, repeats=2)
-results["render_12v_ms"] = t * 1e3
-print(f"render 12v:   {t*1e3:7.2f} ms")
+tm("render_12v",
+   lambda e, k2, sh_, op_, c6: render(means, cov, sh_, op_, e, k2, (H, W),
+                                      jnp.zeros(3), 4, cfg=rcfg, cov6=c6),
+   tgt_ext[0], tgt_K[0], sh, opac, cov6, iters=10)
 
-t = device_time(lambda m: project_gaussians(m, cov, sh, opac, viewmat, Kmat,
-                                            (H, W), 4, cov6=cov6),
-                means, iters=20, repeats=2)
-results["project_1v_ms"] = t * 1e3
-print(f"project 1v:   {t*1e3:7.2f} ms")
+tm("project_1v",
+   lambda m, sh_, op_, c6: project_gaussians(m, cov, sh_, op_, viewmat, Kmat,
+                                             (H, W), 4, cov6=c6),
+   means, sh, opac, cov6)
 
-splats = jax.jit(lambda m: project_gaussians(m, cov, sh, opac, viewmat, Kmat,
-                                             (H, W), 4, cov6=cov6))(means)
+splats = jax.jit(
+    lambda m, sh_, op_, c6: project_gaussians(m, cov, sh_, op_, viewmat, Kmat,
+                                              (H, W), 4, cov6=c6)
+)(means, sh, opac, cov6)
 sync(splats.mean2d[:8])
 
 tile_px, dup, Kcap = rcfg.tile_px, rcfg.dup_hw, rcfg.max_per_tile
@@ -171,36 +175,35 @@ def full_bin(s):
 
 for name, fn in [("keys_1v", keys_only), ("keys+sort_1v", upto_sort),
                  ("keys+sort+ids_1v", upto_ids), ("full_bin_1v", full_bin)]:
-    t = device_time(fn, splats, iters=20, repeats=2)
-    results[name + "_ms"] = t * 1e3
-    print(f"{name:16s} {t*1e3:7.2f} ms")
+    tm(name, fn, splats)
 
 bins = jax.jit(full_bin)(splats)
 sync(bins.payload[0, 0])
-t = device_time(lambda p: composite_tiles(TileBins(payload=p), (H, W), tile_px,
-                                          jnp.zeros(3), chunk=rcfg.chunk,
-                                          tile_group=rcfg.tile_group),
-                bins.payload, iters=20, repeats=2)
-results["composite_1v_ms"] = t * 1e3
-print(f"composite 1v:  {t*1e3:7.2f} ms")
+tm("composite_1v",
+   lambda p: composite_tiles(TileBins(payload=p), (H, W), tile_px,
+                             jnp.zeros(3), chunk=rcfg.chunk,
+                             tile_group=rcfg.tile_group),
+   bins.payload)
 
-t = device_time(lambda m: render_view(m, cov, sh, opac, viewmat, Kmat, (H, W),
-                                      jnp.zeros(3), 4, cfg=rcfg, cov6=cov6),
-                means, iters=20, repeats=2)
-results["render_view_1v_ms"] = t * 1e3
-print(f"render_view 1v:{t*1e3:7.2f} ms")
+tm("render_view_1v",
+   lambda m, sh_, op_, c6: render_view(m, cov, sh_, op_, viewmat, Kmat,
+                                       (H, W), jnp.zeros(3), 4, cfg=rcfg,
+                                       cov6=c6),
+   means, sh, opac, cov6)
 
 # ---- coverage stats for the flagship scene (3 of the 12 views) ----
-cov33 = jax.vmap(lambda c6: jnp.array([[c6[0], c6[1], c6[2]],
-                                       [c6[1], c6[3], c6[4]],
-                                       [c6[2], c6[4], c6[5]]]))(cov6)
+cov33 = jax.jit(jax.vmap(lambda c6: jnp.array(
+    [[c6[0], c6[1], c6[2]],
+     [c6[1], c6[3], c6[4]],
+     [c6[2], c6[4], c6[5]]])))(cov6)
 cov_jobs = {}
+cov_fn = jax.jit(lambda m, c33, sh_, op_, v: coverage_stats(
+    m, c33, sh_, op_, v, Kmat, (H, W), 4, cfg=rcfg))
 for vi in (0, 6, 11):
     vm = jnp.linalg.inv(tgt_ext[0, vi])
-    st = jax.jit(lambda m, v: coverage_stats(m, cov33, sh, opac, v, Kmat,
-                                             (H, W), 4, cfg=rcfg))(means, vm)
+    st = cov_fn(means, cov33, sh, opac, vm)
     cov_jobs[f"view_{vi}"] = {k: float(v) for k, v in st.items()}
-    print(f"coverage view {vi}: {cov_jobs[f'view_{vi}']}")
+    print(f"coverage view {vi}: {cov_jobs[f'view_{vi}']}", flush=True)
 
 out_dir = pathlib.Path("/root/repo/outputs/perf_decomposition")
 out_dir.mkdir(parents=True, exist_ok=True)

@@ -582,3 +582,61 @@ class TestCoverageWarnings:
                                 CAM["intrinsics"][None], (32, 32))
         assert "WARNING" not in capsys.readouterr().out
         assert stats["truncated_frac"] <= 0.05
+
+
+class TestOriginBinning:
+    """bin_splats_origin: sort N once by window-origin tile, bitonic-merge
+    each tile's neighbor segments (tiles.py). Must match the dup-sort path
+    up to depth-tie ordering (both paths leave ties arbitrary, like the
+    reference's unstable CUDA radix sort)."""
+
+    CFG_O = RasterizeConfig(tile_px=8, dup_hw=(4, 4), max_per_tile=64,
+                            chunk=32, tile_group=16, binning="origin")
+
+    def test_matches_oracle(self):
+        means, covs, sh, opac = make_scene(jax.random.PRNGKey(0))
+        shape = (32, 32)
+        color, depth, alpha = render(
+            means, covs, sh, opac, CAM["extrinsics"], CAM["intrinsics"],
+            shape, BG, sh_degree=0, cfg=self.CFG_O,
+        )
+        c_ref, d_ref, a_ref = render_view_bruteforce(
+            means, covs, sh, opac, jnp.eye(4), CAM["intrinsics"][0],
+            shape, BG, sh_degree=0,
+        )
+        np.testing.assert_allclose(color[0], c_ref, atol=2e-3)
+        np.testing.assert_allclose(alpha[0], a_ref, atol=2e-3)
+        np.testing.assert_allclose(depth[0], d_ref, atol=2e-2)
+
+    def test_gradients_match_dup_path(self):
+        means, covs, sh, opac = make_scene(jax.random.PRNGKey(3), n=96)
+
+        def loss(means, opac, cfg):
+            c, d, a = render(
+                means, covs, sh, opac, CAM["extrinsics"], CAM["intrinsics"],
+                (32, 32), BG, sh_degree=0, cfg=cfg,
+            )
+            return (c ** 2).sum() + d.sum() * 1e-3
+
+        g_dup = jax.grad(loss, argnums=(0, 1))(means, opac, CFG)
+        g_org = jax.grad(loss, argnums=(0, 1))(means, opac, self.CFG_O)
+        for gd, go in zip(g_dup, g_org):
+            assert bool(jnp.isfinite(go).all())
+            np.testing.assert_allclose(go, gd, atol=1e-4, rtol=1e-4)
+
+    def test_bitonic_sort_exact(self):
+        from vicasplat_tpu.ops.rasterize.tiles import _bitonic_sort_u32
+
+        x = jax.random.bits(
+            jax.random.PRNGKey(5), (5, 512), dtype=jnp.uint32
+        )  # full u32 range
+        got = np.asarray(jax.jit(_bitonic_sort_u32)(x))
+        np.testing.assert_array_equal(got, np.sort(np.asarray(x), axis=1))
+
+    def test_tiny_scene(self):
+        means, covs, sh, opac = make_scene(jax.random.PRNGKey(2), n=4)
+        color, _, alpha = render(
+            means, covs, sh, opac, CAM["extrinsics"], CAM["intrinsics"],
+            (32, 32), BG, sh_degree=0, cfg=self.CFG_O,
+        )
+        assert bool(jnp.isfinite(color).all())

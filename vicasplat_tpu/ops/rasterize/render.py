@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ...geometry.se3 import rigid_inverse, se3_exp
 from .projection import project_gaussians
-from .tiles import bin_splats, composite_tiles
+from .tiles import bin_splats, bin_splats_origin, composite_tiles
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +48,12 @@ class RasterizeConfig:
     # compositing chunk for the pallas kernel; smaller chunks exit earlier
     # on saturated tiles (128 beat 256 by 11% on the flagship payload)
     pallas_chunk: int = 128
+    # "dup_sort": duplicate each splat into its KHxKW window slots, one
+    # global (tile|depth, idx) pair sort of N*KH*KW entries.
+    # "origin": sort N entries keyed by window-ORIGIN tile, then depth-merge
+    # each tile's KH*KW neighbor segments with an in-graph bitonic network
+    # (tiles.bin_splats_origin) — less than half the lax.sort volume.
+    binning: str = "dup_sort"
 
 
 def render_view(
@@ -68,8 +74,9 @@ def render_view(
         means, covariances, harmonics, opacities, viewmat, intrinsics,
         image_shape, sh_degree, near=near, cov6=cov6,
     )
-    bins = bin_splats(splats, image_shape, cfg.tile_px, cfg.dup_hw,
-                      cfg.max_per_tile, packed_gather=cfg.packed_gather)
+    bin_fn = bin_splats_origin if cfg.binning == "origin" else bin_splats
+    bins = bin_fn(splats, image_shape, cfg.tile_px, cfg.dup_hw,
+                  cfg.max_per_tile, packed_gather=cfg.packed_gather)
     backend = cfg.backend
     if backend == "auto":
         # resolved at trace time: the fused kernel on accelerators, the

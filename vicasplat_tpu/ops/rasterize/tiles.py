@@ -255,6 +255,204 @@ def bin_splats(
     return TileBins(payload=payload)
 
 
+# ---------------------------------------------------------------------------
+# origin binning: sort N instead of N*KH*KW
+#
+# The dup-sort path above pays for a pair sort of N*KH*KW entries (2.1M for
+# the flagship scene, 2.36 ms/view) because every splat is duplicated into
+# each window slot BEFORE the sort. The origin path sorts each splat ONCE,
+# keyed by its window-ORIGIN tile (the top-left tile of its KHxKW window):
+#
+#   1. pair sort of N (u32 origin|depth, u32 validbits|idx) — 1.11 ms at
+#      524k, less than half the duplicated sort. The valid-bitmap (bit
+#      dy*KW+dx set iff window slot (dy,dx) lands inside the splat's
+#      3-sigma rect) rides in the high bits of the index word.
+#   2. per-origin segments are contiguous slices of the sorted arrays,
+#      exactly like the dup path's per-tile segments.
+#   3. tile t's candidates are the KH*KW neighbor segments with origin
+#      t-(dy,dx); per-candidate validity for THIS tile is bit (dy,dx) of
+#      the bitmap. Invalid candidates get a sentinel depth key.
+#   4. the merged candidate list is depth-ordered by an in-graph BITONIC
+#      sorting network on a single u32 (depth | candidate-slot) word —
+#      pure reshape/min/max stages, no lax.sort, no gathers — and the
+#      front-K survivors index the payload table as before.
+#
+# Approximations vs the dup path (both directions are caps, reported by
+# coverage_stats): per-ORIGIN segments are capped at K entries before the
+# merge (the dup path caps per-tile after), and depth keys carry
+# 32 - log2(KH*KW*K) bits instead of 32 - tile_bits (21 vs 23 for the
+# flagship config — ties share a 4e-5-relative depth bucket; tie order is
+# arbitrary in both paths, like the reference's unstable CUDA radix sort).
+# ---------------------------------------------------------------------------
+
+
+def _bitonic_sort_u32(x: jnp.ndarray) -> jnp.ndarray:
+    """Ascending bitonic sort along the last axis (power-of-two length).
+
+    Expressed as reshape + min/max compare-exchange stages so XLA lowers to
+    fused elementwise kernels (no gather/scatter, no lax.sort).
+    """
+    t, m = x.shape
+    assert m & (m - 1) == 0, f"bitonic length {m} not a power of two"
+    k = 2
+    while k <= m:
+        j = k // 2
+        while j >= 1:
+            g = m // (2 * j)
+            xr = x.reshape(t, g, 2, j)
+            lo, hi = xr[:, :, 0], xr[:, :, 1]
+            # subsequence of size k ascending iff its k-block index is even
+            asc = (jnp.arange(g) * 2 * j & k) == 0
+            asc = asc[None, :, None]
+            swap = jnp.where(asc, lo > hi, lo < hi)
+            nlo = jnp.where(swap, hi, lo)
+            nhi = jnp.where(swap, lo, hi)
+            x = jnp.stack([nlo, nhi], axis=2).reshape(t, m)
+            j //= 2
+        k *= 2
+    return x
+
+
+def bin_splats_origin(
+    splats: Splats,
+    image_shape: tuple,
+    tile_px: int,
+    dup_hw: tuple,
+    max_per_tile: int,
+    packed_gather: bool = False,
+) -> TileBins:
+    """Origin-binned equivalent of `bin_splats` (same TileBins contract)."""
+    H, W = image_shape
+    th = -(-H // tile_px)
+    tw = -(-W // tile_px)
+    num_tiles = th * tw
+    tile_bits = (num_tiles + 1).bit_length()
+    depth_shift = 32 - tile_bits
+    assert depth_shift >= 16
+    n = splats.mean2d.shape[0]
+    KH, KW = dup_hw
+    n_slots = KH * KW
+    idx_bits = max(n - 1, 1).bit_length()
+    assert idx_bits + n_slots <= 32, (
+        f"{n} splats x {n_slots} window slots don't fit a packed u32 index"
+    )
+
+    mx, my = splats.mean2d[:, 0], splats.mean2d[:, 1]
+    r = splats.radius
+    live = r > 0
+    inv_t = 1.0 / tile_px
+    tx0 = jnp.clip(jnp.floor((mx - r) * inv_t), 0, tw - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((mx + r) * inv_t), 0, tw - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((my - r) * inv_t), 0, th - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((my + r) * inv_t), 0, th - 1).astype(jnp.int32)
+    ctx = jnp.clip(jnp.floor(mx * inv_t), 0, tw - 1).astype(jnp.int32)
+    cty = jnp.clip(jnp.floor(my * inv_t), 0, th - 1).astype(jnp.int32)
+    wx0 = jnp.clip(ctx - (KW - 1) // 2, tx0, jnp.maximum(tx1 - KW + 1, tx0))
+    wy0 = jnp.clip(cty - (KH - 1) // 2, ty0, jnp.maximum(ty1 - KH + 1, ty0))
+
+    depth_bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(splats.depth, 1e-6).astype(jnp.float32), jnp.uint32
+    ) >> (32 - depth_shift)
+
+    valid_bits = jnp.zeros((n,), jnp.uint32)
+    for dy in range(KH):
+        for dx in range(KW):
+            ok = (wy0 + dy <= ty1) & (wx0 + dx <= tx1) & live
+            valid_bits = valid_bits | (
+                ok.astype(jnp.uint32) << jnp.uint32(dy * KW + dx)
+            )
+    origin = (wy0 * tw + wx0).astype(jnp.uint32)
+    sentinel = jnp.uint32(num_tiles) << depth_shift
+    key = jnp.where(
+        valid_bits > 0, (origin << depth_shift) | depth_bits, sentinel
+    )
+    pidx = (valid_bits << jnp.uint32(idx_bits)) | jnp.arange(n, dtype=jnp.uint32)
+
+    sorted_key, sorted_pidx = jax.lax.sort(
+        (key, pidx), num_keys=1, is_stable=False
+    )
+
+    tile_starts_keys = jnp.arange(num_tiles, dtype=jnp.uint32) << depth_shift
+    starts = jnp.searchsorted(sorted_key, tile_starts_keys, side="left")
+    ends = jnp.searchsorted(
+        sorted_key,
+        tile_starts_keys + (jnp.uint32(1) << depth_shift),
+        side="left",
+    )
+
+    S = max_per_tile
+    L = n
+    if L < S:
+        sorted_key = jnp.pad(sorted_key, (0, S - L),
+                             constant_values=jnp.uint32(0xFFFFFFFF))
+        sorted_pidx = jnp.pad(sorted_pidx, (0, S - L))
+        L = S
+    starts_i = jnp.minimum(starts.astype(jnp.int32), L - S)
+    pos = starts_i[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    in_seg = (pos >= starts[:, None].astype(jnp.int32)) & (
+        pos < ends[:, None].astype(jnp.int32)
+    )
+    seg_key = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(sorted_key, s, S)
+    )(starts_i)   # (num_tiles, S)
+    seg_pidx = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(sorted_pidx, s, S)
+    )(starts_i)
+
+    # merged candidate width, padded to a power of two for the bitonic net
+    m = 1 << (n_slots * S - 1).bit_length()
+    slot_bits = m.bit_length() - 1  # log2(m)
+    # depth bits kept in the merged word (top of the original depth field)
+    dkeep = 32 - slot_bits
+    seg_depth = (seg_key << jnp.uint32(tile_bits)) >> jnp.uint32(32 - dkeep)
+    idx_mask = jnp.uint32((1 << idx_bits) - 1)
+
+    t_idx = jnp.arange(num_tiles, dtype=jnp.int32)
+    tyy, txx = t_idx // tw, t_idx % tw
+    cand_words = []
+    cand_ids = []
+    full = jnp.uint32(0xFFFFFFFF)
+    for dy in range(KH):
+        for dx in range(KW):
+            oy, ox = tyy - dy, txx - dx
+            in_grid = (oy >= 0) & (ox >= 0)
+            o = jnp.clip(oy, 0) * tw + jnp.clip(ox, 0)
+            k_o = seg_depth[o]        # (num_tiles, S) row gather, 256 rows
+            p_o = seg_pidx[o]
+            ok = (
+                in_grid[:, None]
+                & in_seg[o]
+                & ((p_o >> jnp.uint32(idx_bits + dy * KW + dx))
+                   & jnp.uint32(1) > 0)
+            )
+            slot0 = len(cand_words) * S
+            slot_word = (slot0 + jnp.arange(S, dtype=jnp.uint32))[None, :]
+            cand_words.append(jnp.where(
+                ok, (k_o << jnp.uint32(slot_bits)) | slot_word, full
+            ))
+            cand_ids.append((p_o & idx_mask).astype(jnp.int32))
+    cand = jnp.concatenate(cand_words, axis=1)   # (num_tiles, n_slots*S)
+    cand_id = jnp.concatenate(cand_ids, axis=1)
+    if cand.shape[1] < m:
+        cand = jnp.pad(cand, ((0, 0), (0, m - cand.shape[1])),
+                       constant_values=full)
+
+    merged = _bitonic_sort_u32(cand)[:, :max_per_tile]
+    slot_valid = merged != full
+    slot = (merged & jnp.uint32(m - 1)).astype(jnp.int32)
+    ids = jnp.take_along_axis(
+        cand_id, jnp.minimum(slot, cand_id.shape[1] - 1), axis=1
+    )  # (num_tiles, K)
+
+    table = pack_payload(splats)
+    if packed_gather:
+        payload = packed_row_gather(table, ids)
+    else:
+        payload = table[ids]
+    payload = payload.at[..., 5].multiply(slot_valid.astype(jnp.float32))
+    return TileBins(payload=payload)
+
+
 def _tile_pixel_centers(image_shape, tile_px):
     """(num_tiles, P, 2) pixel-center coordinates per tile."""
     H, W = image_shape

@@ -640,3 +640,12 @@ class TestOriginBinning:
             (32, 32), BG, sh_degree=0, cfg=self.CFG_O,
         )
         assert bool(jnp.isfinite(color).all())
+
+    def test_pallas_bitonic_topk_interpret(self):
+        from vicasplat_tpu.ops.rasterize.pallas_bitonic import bitonic_topk_u32
+
+        x = jax.random.bits(jax.random.PRNGKey(9), (130, 256), dtype=jnp.uint32)
+        got = np.asarray(
+            jax.jit(lambda a: bitonic_topk_u32(a, 64, interpret=True))(x)
+        )
+        np.testing.assert_array_equal(got, np.sort(np.asarray(x), axis=1)[:, :64])

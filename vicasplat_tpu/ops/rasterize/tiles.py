@@ -437,7 +437,15 @@ def bin_splats_origin(
         cand = jnp.pad(cand, ((0, 0), (0, m - cand.shape[1])),
                        constant_values=full)
 
-    merged = _bitonic_sort_u32(cand)[:, :max_per_tile]
+    if jax.default_backend() == "cpu":
+        merged = _bitonic_sort_u32(cand)[:, :max_per_tile]
+    else:
+        # the same network as a single VMEM-resident pallas kernel — the
+        # XLA chain re-streams the candidate array from HBM every stage
+        # (~1.2 ms/view, tools/jobs/078); in VMEM it is ~0.1 ms
+        from .pallas_bitonic import bitonic_topk_u32
+
+        merged = bitonic_topk_u32(cand, max_per_tile)
     slot_valid = merged != full
     slot = (merged & jnp.uint32(m - 1)).astype(jnp.int32)
     ids = jnp.take_along_axis(

@@ -29,6 +29,11 @@ LANE = 128
 
 
 def _bitonic_kernel(x_ref, o_ref, *, m: int, keep: int):
+    """Bitonic sort on the leading (sublane) axis. The per-row sort
+    direction is applied by selecting between the (min, max) pair and its
+    swap with an int32 select — Mosaic cannot lower a select between i1
+    vectors (`where(asc, lo>hi, lo<hi)` dies in `arith.trunci` i8->i1) and
+    has no `rev` lowering for the all-ascending flip variant."""
     x = x_ref[...]  # (m, LANE) int32
     lanes = x.shape[1]
     k = 2
@@ -38,12 +43,13 @@ def _bitonic_kernel(x_ref, o_ref, *, m: int, keep: int):
             g = m // (2 * j)
             xr = x.reshape(g, 2, j, lanes)
             lo, hi = xr[:, 0], xr[:, 1]
+            mn = jnp.minimum(lo, hi)
+            mx = jnp.maximum(lo, hi)
             asc = (
                 jax.lax.broadcasted_iota(jnp.int32, (g, 1, 1), 0) * (2 * j) & k
             ) == 0
-            swap = jnp.where(asc, lo > hi, lo < hi)
-            nlo = jnp.where(swap, hi, lo)
-            nhi = jnp.where(swap, lo, hi)
+            nlo = jnp.where(asc, mn, mx)
+            nhi = jnp.where(asc, mx, mn)
             x = jnp.stack([nlo, nhi], axis=1).reshape(m, lanes)
             j //= 2
         k *= 2

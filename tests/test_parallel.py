@@ -115,3 +115,92 @@ class TestTensorParallel:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4
         )
+
+
+class TestViewParallel:
+    """View-sharded trajectory rendering (parallel/view_parallel.py) must
+    reproduce the serial decoder_forward exactly — only the view loop is
+    distributed, the per-view math is identical."""
+
+    def _scene(self, n=257, v=12):
+        key = jax.random.PRNGKey(3)
+        ks = jax.random.split(key, 8)
+        from vicasplat_tpu.models.adapter import Gaussians
+
+        means = jax.random.normal(ks[0], (1, n, 3)) * 0.5 + jnp.array(
+            [0.0, 0.0, 3.0]
+        )
+        scales = jax.random.uniform(ks[1], (1, n, 3), minval=0.01, maxval=0.08)
+        rots = jax.random.normal(ks[2], (1, n, 4))
+        rots = rots / jnp.linalg.norm(rots, axis=-1, keepdims=True)
+        sh = jax.random.normal(ks[3], (1, n, 3, 4)) * 0.3
+        op = jax.nn.sigmoid(jax.random.normal(ks[4], (1, n)))
+        g = Gaussians(
+            means=means, covariances=None, harmonics=sh, opacities=op,
+            scales=scales, rotations=rots,
+        )
+        angles = jnp.linspace(-0.2, 0.2, v)
+        exts = []
+        for a in angles:
+            c, s = jnp.cos(a), jnp.sin(a)
+            m = jnp.array(
+                [[c, 0, s, 0.1 * a], [0, 1, 0, 0], [-s, 0, c, 0], [0, 0, 0, 1]]
+            )
+            exts.append(m)
+        ext = jnp.stack(exts)[None]
+        K = jnp.broadcast_to(
+            jnp.array([[1.2, 0.0, 0.5], [0.0, 1.2, 0.5], [0.0, 0.0, 1.0]]),
+            (1, v, 3, 3),
+        )
+        near = jnp.full((1, v), 0.1)
+        far = jnp.full((1, v), 100.0)
+        return g, ext, K, near, far
+
+    def _cfg(self):
+        from vicasplat_tpu.decoder.splatting import DecoderSplattingConfig
+        from vicasplat_tpu.ops.rasterize import RasterizeConfig
+
+        return DecoderSplattingConfig(
+            rasterize=RasterizeConfig(dup_hw=(2, 2), max_per_tile=64, chunk=64)
+        )
+
+    def test_matches_serial_divisible(self):
+        from vicasplat_tpu.decoder.splatting import decoder_forward
+        from vicasplat_tpu.parallel import (
+            decoder_forward_view_sharded, make_mesh,
+        )
+
+        cfg = self._cfg()
+        g, ext, K, near, far = self._scene(v=16)  # 16 % 8 == 0
+        mesh = make_mesh()
+        ref = jax.jit(
+            lambda *a: decoder_forward(cfg, *a, (32, 32))
+        )(g, ext, K, near, far)
+        got = jax.jit(
+            lambda *a: decoder_forward_view_sharded(
+                cfg, *a, (32, 32), mesh=mesh
+            )
+        )(g, ext, K, near, far)
+        for r, o in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(r), np.asarray(o), atol=1e-5)
+
+    def test_matches_serial_with_padding(self):
+        from vicasplat_tpu.decoder.splatting import decoder_forward
+        from vicasplat_tpu.parallel import (
+            decoder_forward_view_sharded, make_mesh,
+        )
+
+        cfg = self._cfg()
+        g, ext, K, near, far = self._scene(v=12)  # 12 % 8 != 0 -> pads to 16
+        mesh = make_mesh()
+        ref = jax.jit(
+            lambda *a: decoder_forward(cfg, *a, (32, 32))
+        )(g, ext, K, near, far)
+        got = jax.jit(
+            lambda *a: decoder_forward_view_sharded(
+                cfg, *a, (32, 32), mesh=mesh
+            )
+        )(g, ext, K, near, far)
+        assert got.color.shape == ref.color.shape
+        for r, o in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(r), np.asarray(o), atol=1e-5)

@@ -65,3 +65,25 @@ class TestHTTP:
         finally:
             srv.shutdown()
             srv.server_close()
+
+
+class TestViewMesh:
+    def test_render_with_view_mesh_matches_serial(self):
+        from vicasplat_tpu.parallel import make_mesh
+
+        cfg = tiny_cfg()
+        images, K = _inputs()
+        serial = InferenceEngine(cfg, dtype=jnp.float32)
+        sharded = InferenceEngine(
+            cfg, params=serial.params, dtype=jnp.float32,
+            view_mesh=make_mesh(),
+        )
+        scene = serial.reconstruct(images, K)
+        V = 12  # pads to 16 on the 8-device mesh
+        ext = jnp.broadcast_to(jnp.eye(4), (1, V, 4, 4))
+        Kv = jnp.broadcast_to(K[:, :1], (1, V, 3, 3))
+        ref = serial.render(scene, ext, Kv, (32, 32))
+        got = sharded.render(scene, ext, Kv, (32, 32))
+        assert got.color.shape == ref.color.shape
+        np.testing.assert_allclose(
+            np.asarray(ref.color), np.asarray(got.color), atol=1e-5)

@@ -1,0 +1,87 @@
+"""ICI-parallel novel-view rendering: shard the view axis over the mesh.
+
+The reference has no multi-GPU inference path at all (its only distribution
+is Lightning DDP for training, src/main.py:104-124); trajectory rendering
+in demo.py:204-243 is a serial per-view CUDA loop. On TPU the natural
+inference scale-out is the VIEW axis: the Gaussians of one reconstructed
+scene are small (~180 MB at 524k splats) and identical for every novel
+view, so they replicate once over ICI while each device renders its slice
+of the trajectory. The per-view pipeline (project -> sort -> bin ->
+composite) stays device-local — there is no cross-view communication at
+all, so scaling is linear until the per-device view count hits 1.
+
+Implementation notes (TPU/XLA):
+- `decoder_forward` serializes views with `lax.map` because batched sorts
+  are catastrophic on TPU (ops/rasterize docs). GSPMD cannot partition a
+  loop's iteration axis, so plain jit-with-sharded-inputs would all-gather
+  the views and render everything on every device. `shard_map` makes the
+  loop body device-local: each device lax.maps over only its view shard.
+  (Same design as the batch-local training render, training/step.py.)
+- V is padded to a multiple of the mesh size with repeats of view 0 and
+  sliced back after; padding renders are wasted work only when
+  V % n_devices != 0.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..decoder.splatting import DecoderOutput, DecoderSplattingConfig, decoder_forward, flatten_gaussians
+from ..models.adapter import Gaussians
+
+
+def decoder_forward_view_sharded(
+    cfg: DecoderSplattingConfig,
+    gaussians: Gaussians,
+    extrinsics: jnp.ndarray,   # (B, V, 4, 4) c2w
+    intrinsics: jnp.ndarray,   # (B, V, 3, 3) normalized
+    near: jnp.ndarray,         # (B, V)
+    far: jnp.ndarray,          # (B, V)
+    image_shape: tuple,
+    mesh: Mesh,
+    axis_name: str = "data",
+    sh_degree: Optional[int] = None,
+) -> DecoderOutput:
+    """Render (B, V) views with V sharded over `mesh[axis_name]`.
+
+    Gaussians are replicated; per-view cameras are sharded; outputs come
+    back view-sharded (B, V, H, W, ...). Exact same math as
+    decoder_forward — only the view loop is distributed.
+    """
+    if gaussians.means.ndim > 3:
+        gaussians = flatten_gaussians(gaussians)
+    n = mesh.shape[axis_name]
+    B, V = extrinsics.shape[:2]
+    pad = (-V) % n
+
+    def pad_views(x):
+        if pad == 0:
+            return x
+        return jnp.concatenate(
+            [x, jnp.repeat(x[:, :1], pad, axis=1)], axis=1
+        )
+
+    view_args = tuple(
+        pad_views(x) for x in (extrinsics, intrinsics, near, far)
+    )
+
+    def local(g, ext, K, nr, fr):
+        return decoder_forward(
+            cfg, g, ext, K, nr, fr, image_shape, sh_degree=sh_degree
+        )
+
+    g_spec = jax.tree.map(lambda _: P(), gaussians)
+    out = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(g_spec,) + (P(None, axis_name),) * 4,
+        out_specs=P(None, axis_name),
+        check_rep=False,
+    )(gaussians, *view_args)
+    if pad:
+        out = DecoderOutput(*(x[:, :V] for x in out))
+    return out

@@ -48,10 +48,16 @@ class InferenceEngine:
 
     def __init__(self, cfg: VicaSplatConfig, params=None, ckpt: str = None,
                  dtype=jnp.bfloat16,
-                 decoder: DecoderSplattingConfig = DecoderSplattingConfig()):
+                 decoder: DecoderSplattingConfig = DecoderSplattingConfig(),
+                 view_mesh=None):
+        """view_mesh: optional jax.sharding.Mesh — trajectory renders then
+        shard the view axis over it (parallel/view_parallel.py); one
+        reconstructed scene's Gaussians replicate over ICI and each device
+        renders its slice of the requested views."""
         self.cfg = cfg
         self.dec_cfg = decoder
         self.dtype = dtype
+        self.view_mesh = view_mesh
         if params is None:
             if ckpt is not None:
                 from .utils.checkpointing import load_weights
@@ -80,6 +86,13 @@ class InferenceEngine:
     @functools.lru_cache(maxsize=8)
     def _render_fn(self, vshape, image_shape):
         def fn(params_unused, gaussians, extrinsics, intrinsics, near, far):
+            if self.view_mesh is not None:
+                from .parallel.view_parallel import decoder_forward_view_sharded
+
+                return decoder_forward_view_sharded(
+                    self.dec_cfg, gaussians, extrinsics, intrinsics, near,
+                    far, image_shape, mesh=self.view_mesh,
+                )
             return decoder_forward(
                 self.dec_cfg, gaussians, extrinsics, intrinsics, near, far,
                 image_shape,

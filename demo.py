@@ -158,11 +158,23 @@ def main():
         jnp.broadcast_to(jnp.asarray(K), (1, V, 3, 3)), (args.size, args.size),
         tag=pathlib.Path(args.image_dir).name,
     )
-    rendered = decoder_forward(
-        dec_cfg, g, traj[None], jnp.broadcast_to(jnp.asarray(K), (1, V, 3, 3)),
+    render_args = (
+        g, traj[None], jnp.broadcast_to(jnp.asarray(K), (1, V, 3, 3)),
         jnp.full((1, V), 0.05), jnp.full((1, V), 100.0),
         (args.size, args.size),
     )
+    if len(jax.devices()) > 1:
+        # multi-chip: shard the trajectory's view axis over the mesh
+        # (parallel/view_parallel.py) — linear speedup, no communication
+        from vicasplat_tpu.parallel import (
+            decoder_forward_view_sharded, make_mesh,
+        )
+
+        rendered = decoder_forward_view_sharded(
+            dec_cfg, *render_args, mesh=make_mesh()
+        )
+    else:
+        rendered = decoder_forward(dec_cfg, *render_args)
     save_video(np.asarray(rendered.color[0]), out_dir / "render.mp4")
     print(f"wrote {out_dir}/gaussians.ply ({n_kept} splats), transforms.json, "
           f"xyz_and_camera.glb, render.mp4 ({V} frames)")

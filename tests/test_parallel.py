@@ -204,3 +204,27 @@ class TestViewParallel:
         assert got.color.shape == ref.color.shape
         for r, o in zip(ref, got):
             np.testing.assert_allclose(np.asarray(r), np.asarray(o), atol=1e-5)
+
+    def test_matches_serial_scale_invariant(self):
+        import dataclasses
+
+        from vicasplat_tpu.decoder.splatting import decoder_forward
+        from vicasplat_tpu.parallel import (
+            decoder_forward_view_sharded, make_mesh,
+        )
+
+        cfg = dataclasses.replace(self._cfg(), make_scale_invariant=True)
+        g, ext, K, near, far = self._scene(v=16)
+        near = near * 0.37  # non-unit global scale
+        mesh = make_mesh()
+        ref = jax.jit(
+            lambda *a: decoder_forward(cfg, *a, (32, 32))
+        )(g, ext, K, near, far)
+        got = jax.jit(
+            lambda *a: decoder_forward_view_sharded(
+                cfg, *a, (32, 32), mesh=mesh
+            )
+        )(g, ext, K, near, far)
+        for r, o in zip(ref, got):
+            np.testing.assert_allclose(
+                np.asarray(r), np.asarray(o), atol=5e-4)

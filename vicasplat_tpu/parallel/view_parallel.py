@@ -49,11 +49,37 @@ def decoder_forward_view_sharded(
     """Render (B, V) views with V sharded over `mesh[axis_name]`.
 
     Gaussians are replicated; per-view cameras are sharded; outputs come
-    back view-sharded (B, V, H, W, ...). Exact same math as
-    decoder_forward — only the view loop is distributed.
+    back view-sharded (B, V, H, W, ...). Same math as decoder_forward —
+    only the view loop is distributed (bit-exact without
+    make_scale_invariant; with it, the global rescale is hoisted above the
+    shard and applied to the Gaussian scales, which agrees with the serial
+    path's cov6-side rescale to f32 rounding).
     """
     if gaussians.means.ndim > 3:
         gaussians = flatten_gaussians(gaussians)
+    if cfg.make_scale_invariant:
+        # hoist the rescale above the shard: decoder_forward derives the
+        # scene scale from near[:, 0] — the GLOBAL first view. Done inside
+        # the shard each device would use its local shard's first view
+        # (bit-different rescale per device vs the serial path).
+        import dataclasses as _dc
+
+        scale = 1.0 / near[:, 0]  # (B,)
+        extrinsics = extrinsics.at[..., :3, 3].multiply(scale[:, None, None])
+        gaussians = gaussians._replace(
+            means=gaussians.means * scale[:, None, None],
+            scales=(
+                None if gaussians.scales is None
+                else gaussians.scales * scale[:, None, None]
+            ),
+            covariances=(
+                None if gaussians.covariances is None
+                else gaussians.covariances * (scale[:, None, None, None] ** 2)
+            ),
+        )
+        near = near * scale[:, None]
+        far = far * scale[:, None]
+        cfg = _dc.replace(cfg, make_scale_invariant=False)
     n = mesh.shape[axis_name]
     B, V = extrinsics.shape[:2]
     pad = (-V) % n

@@ -127,6 +127,33 @@ class TestVicaSplatForward:
             a["gaussians"].means, b["gaussians"].means, atol=1e-5
         )
 
+    def test_remat_dots_policy_grads_match(self):
+        """remat_policy='dots' changes what is saved vs recomputed, never
+        the math: grads must match plain remat."""
+        cfg = tiny_cfg(T=2)
+        params = init_vicasplat(jax.random.PRNGKey(0), cfg)
+        batch = tiny_batch(jax.random.PRNGKey(1), T=2)
+
+        def loss_fn(p, policy):
+            out = vicasplat_forward(
+                p, cfg, batch, dtype=jnp.float32, remat=True,
+                remat_policy=policy,
+            )
+            return (
+                out["gaussians"].means.sum()
+                + out["pred_extrins"].sum()
+                + out["gaussians"].opacities.mean()
+            )
+
+        g_ref = jax.jit(jax.grad(lambda p: loss_fn(p, None)))(params)
+        g_dots = jax.jit(jax.grad(lambda p: loss_fn(p, "dots")))(params)
+        # tolerance: the policy changes recompute ORDER, so f32 sums
+        # reassociate; grads here are O(1e3)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_dots)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3
+            )
+
 
 class TestAdapter:
     def test_sh_mask(self):

@@ -433,6 +433,7 @@ def vicanet_forward(
     *,
     dtype=jnp.bfloat16,
     remat: bool = False,
+    remat_policy: Optional[str] = None,
 ):
     """Returns (x_final, camera_extrinsic_tokens, camera_intrinsic_tokens,
     intermediates) where intermediates = [enc_out(1024-d)] + 12 decoder block
@@ -464,10 +465,20 @@ def vicanet_forward(
     # --- encoder: scan over stacked blocks ---
     cos_e, sin_e = _spatial_rope_tables(cfg, cfg.enc_head_dim, (gh, gw))
 
+    # remat_policy="dots": save matmul outputs across the scan boundary and
+    # recompute only elementwise/norm work in the backward — the MXU work
+    # (the majority of block time) runs once instead of twice, for ~2-3 GB
+    # of saved activations at flagship scale (fits beside the 9.2 GB
+    # params+moments+grads). None = save nothing (lowest memory).
+    _policy = (
+        jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        if remat_policy == "dots" else None
+    )
+
     def enc_step(h, blk):
         return _enc_block_apply(blk, h, cos_e, sin_e, cfg.enc_num_heads, dtype), None
 
-    step = jax.checkpoint(enc_step) if remat else enc_step
+    step = jax.checkpoint(enc_step, policy=_policy) if remat else enc_step
     x, _ = jax.lax.scan(step, x, params["enc_blocks"])
     x = layernorm(params["enc_norm"], x)
 
@@ -500,7 +511,7 @@ def vicanet_forward(
         img, cam = _dec_block_apply(blk, img, cam, cfg, tables, dtype)
         return (img, cam), img
 
-    step = jax.checkpoint(dec_step) if remat else dec_step
+    step = jax.checkpoint(dec_step, policy=_policy) if remat else dec_step
     (img, cam), inter = jax.lax.scan(step, (img, cam), params["dec_blocks"])
 
     # intermediates: [enc_out] + per-block outputs, last one layer-normed

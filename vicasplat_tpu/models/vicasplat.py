@@ -147,6 +147,7 @@ def vicasplat_forward(
     compute_viewspace_depth: bool = False,
     dtype=jnp.bfloat16,
     remat: bool = False,
+    remat_policy=None,
 ) -> dict:
     images = context["image"]  # (B, T, H, W, 3), normalized to [-1, 1]
     B, T, H, W, _ = images.shape
@@ -154,7 +155,7 @@ def vicasplat_forward(
 
     _, camera_embeds, global_embeds, interms = vicanet_forward(
         params["backbone"], bb, images, context.get("intrinsics"),
-        dtype=dtype, remat=remat,
+        dtype=dtype, remat=remat, remat_policy=remat_policy,
     )
 
     # ---- camera pose ----

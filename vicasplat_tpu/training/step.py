@@ -37,6 +37,10 @@ class TrainConfig:
     lpips: LossLpipsConfig = LossLpipsConfig()
     dtype: str = "bfloat16"
     remat: bool = True
+    # "none": full recompute (lowest memory). "dots": jax checkpoint policy
+    # dots_with_no_batch_dims_saveable — matmul outputs survive the scan
+    # boundary, the backward recomputes only elementwise work.
+    remat_policy: str = "none"
     distill_weight: float = 1.0
     # staged distillation schedule (reference model_wrapper.py:185,249 +
     # config/experiment/distill.yaml:34-40): steps < distill_only_steps run
@@ -116,6 +120,7 @@ def compute_loss(params, cfg: TrainConfig, batch, global_step, lpips_fn=None,
     out = vicasplat_forward(
         params, cfg.model, ctx_model, global_step, dtype=dtype,
         remat=cfg.remat, distill=phase == "distill_only",
+        remat_policy=(None if cfg.remat_policy == "none" else cfg.remat_policy),
     )
     losses = {
         "camera": camera_loss(

@@ -138,3 +138,36 @@ class TestLinearHeads:
         batch = tiny_batch(jax.random.PRNGKey(1))["context"]
         out = vicasplat_forward(params, cfg, batch, dtype=jnp.float32)
         assert out["gaussians"].means.shape == (1, 2, 32, 32, 3)
+
+
+class TestMomentDtype:
+    def test_bf16_mu_tracks_f32_updates(self):
+        """moment_dtype='bfloat16' stores Adam's first moment in bf16; the
+        resulting updates must stay close to the f32-moment updates."""
+        import dataclasses
+
+        from vicasplat_tpu.training.optimizer import (
+            OptimizerConfig, make_optimizer,
+        )
+
+        key = jax.random.PRNGKey(0)
+        p = {"backbone": jax.random.normal(key, (32, 32)) * 0.02}
+        g = {"backbone": jax.random.normal(jax.random.split(key)[0], (32, 32))}
+        cfg = OptimizerConfig(warm_up_steps=1)
+        outs = {}
+        for md in ("float32", "bfloat16"):
+            opt = make_optimizer(
+                p, dataclasses.replace(cfg, moment_dtype=md))
+            st = opt.init(p)
+            q = p
+            for _ in range(5):
+                up, st = opt.update(g, st, q)
+                q = jax.tree.map(lambda a, b: a + b, q, up)
+            outs[md] = q["backbone"]
+            mu = st[1][0].mu["backbone"]
+            expect = jnp.bfloat16 if md == "bfloat16" else jnp.float32
+            assert mu.dtype == expect
+        np.testing.assert_allclose(
+            np.asarray(outs["float32"]), np.asarray(outs["bfloat16"]),
+            atol=2e-5,
+        )

@@ -27,6 +27,11 @@ class OptimizerConfig:
     cosine_annealing: bool = False
     max_steps: int = 100_000
     new_param_keywords: tuple = ("gaussian_param_head", "intrinsic_encoder")
+    # dtype of Adam's first moment (optax mu_dtype). "bfloat16" halves the
+    # moment's HBM traffic per step (~2.3 GB at 578M params); the second
+    # moment stays f32 (8-bit mantissa is too coarse for v). Default f32 =
+    # reference-parity numerics.
+    moment_dtype: str = "float32"
 
 
 def lr_multiplier_tree(params, cfg: OptimizerConfig):
@@ -80,6 +85,7 @@ def make_optimizer(params, cfg: OptimizerConfig) -> optax.GradientTransformation
             b1=cfg.betas[0],
             b2=cfg.betas[1],
             weight_decay=cfg.weight_decay,
+            mu_dtype=jnp.bfloat16 if cfg.moment_dtype == "bfloat16" else None,
         ),
         _scale_by_tree(mult),
     )

@@ -106,6 +106,38 @@ class TestExtendIndex:
         )
         assert out["context"][-1] < 50
 
+    def test_scene_dirs_cli(self, tmp_path):
+        """--scene_dirs mode reads scene length from extrinsics.npy
+        (reference generate_eval_index_scannet.py:31-71 layout)."""
+        from vicasplat_tpu.evaluation.extend_index import main
+
+        data_root = tmp_path / "scannet"
+        for scene, n_frames in [("scene0000_00", 90), ("scene0001_00", 40)]:
+            d = data_root / scene
+            d.mkdir(parents=True)
+            np.save(d / "extrinsics.npy",
+                    np.tile(np.eye(4, dtype=np.float32), (n_frames, 1, 1)))
+        # a dir with no extrinsics.npy and an unindexed dir must be skipped
+        (data_root / "scene0002_00").mkdir()
+        idx_path = tmp_path / "index_2v.json"
+        idx_path.write_text(json.dumps({
+            "scene0000_00": {"context": [5, 15], "target": [10]},
+            "scene0002_00": {"context": [0, 10], "target": [5]},
+            "scene_missing": {"context": [0, 10], "target": [5]},
+        }))
+        out_path = tmp_path / "index_8v.json"
+        main([
+            "--scene_dirs", "--index_2v", str(idx_path),
+            "--data_root", str(data_root),
+            "--n_context", "8", "--n_target", "4",
+            "--output", str(out_path),
+        ])
+        out = json.loads(out_path.read_text())
+        assert set(out) == {"scene0000_00"}
+        ctx = out["scene0000_00"]["context"]
+        assert len(ctx) == 8 and ctx[-1] < 90
+        assert ctx[1] - ctx[0] == 10  # 2-view interval reused as frame gap
+
 
 class TestMetricComputer:
     def test_scores_and_buckets(self, tmp_path):

@@ -1,15 +1,21 @@
 """Extend a 2-view evaluation index to N context views (video evaluation).
 
-Parity target: reference src/scripts/generate_eval_index_re10k.py:54-103 —
-reuse the 2-view context interval as the frame gap, clamp it to the scene
-length, place N equally spaced context frames, and sample sorted random
-target frames inside the span.
+Parity targets: reference src/scripts/generate_eval_index_re10k.py:54-103
+and generate_eval_index_scannet.py:31-71 — reuse the 2-view context
+interval as the frame gap, clamp it to the scene length, place N equally
+spaced context frames, and sample sorted random target frames inside the
+span. Scene length comes from the chunk's camera count (RE10K layout) or
+each scene dir's extrinsics.npy (--scene_dirs, ScanNet layout).
 
 Usage:
   python -m vicasplat_tpu.evaluation.extend_index \
       --index_2v assets/evaluation_index_re10k.json \
       --data_root datasets/re10k/test \
       --n_context 8 --n_target 3 --output assets/evaluation_index_re10k_8v.json
+  python -m vicasplat_tpu.evaluation.extend_index --scene_dirs \
+      --index_2v assets/evaluation_index_scannet.json \
+      --data_root datasets/scannet/test \
+      --n_context 8 --n_target 9 --output assets/evaluation_index_scannet_8v.json
 """
 from __future__ import annotations
 
@@ -45,9 +51,7 @@ def extend_entry(entry, n_total_views: int, n_context: int, n_target: int,
     }
 
 
-def main():
-    import torch
-
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--index_2v", required=True)
     ap.add_argument("--data_root", required=True)
@@ -55,7 +59,12 @@ def main():
     ap.add_argument("--n_target", type=int, default=3)
     ap.add_argument("--output", required=True)
     ap.add_argument("--seed", type=int, default=0)
-    args = ap.parse_args()
+    ap.add_argument(
+        "--scene_dirs", action="store_true",
+        help="data_root holds one dir per scene with extrinsics.npy "
+             "(ScanNet layout) instead of .torch chunks",
+    )
+    args = ap.parse_args(argv)
 
     with open(args.index_2v) as f:
         index = json.load(f)
@@ -63,19 +72,35 @@ def main():
 
     root = pathlib.Path(args.data_root)
     new_index = {}
-    for chunk_path in sorted(root.glob("*.torch")):
-        chunk = torch.load(chunk_path, weights_only=False)
-        for example in chunk:
-            scene = example["key"]
-            entry = index.get(scene)
+    if args.scene_dirs:
+        for scene_dir in sorted(p for p in root.iterdir() if p.is_dir()):
+            entry = index.get(scene_dir.name)
             if entry is None:
                 continue
-            out = extend_entry(
-                entry, example["cameras"].shape[0],
-                args.n_context, args.n_target, rng,
-            )
+            ext_path = scene_dir / "extrinsics.npy"
+            if not ext_path.exists():
+                continue
+            n_total = int(np.load(ext_path).shape[0])
+            out = extend_entry(entry, n_total, args.n_context, args.n_target,
+                               rng)
             if out is not None:
-                new_index[scene] = out
+                new_index[scene_dir.name] = out
+    else:
+        import torch
+
+        for chunk_path in sorted(root.glob("*.torch")):
+            chunk = torch.load(chunk_path, weights_only=False)
+            for example in chunk:
+                scene = example["key"]
+                entry = index.get(scene)
+                if entry is None:
+                    continue
+                out = extend_entry(
+                    entry, example["cameras"].shape[0],
+                    args.n_context, args.n_target, rng,
+                )
+                if out is not None:
+                    new_index[scene] = out
     with open(args.output, "w") as f:
         json.dump(new_index, f, indent=2)
     print(f"wrote {len(new_index)} scenes -> {args.output}")

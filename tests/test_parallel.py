@@ -228,3 +228,125 @@ class TestViewParallel:
         for r, o in zip(ref, got):
             np.testing.assert_allclose(
                 np.asarray(r), np.asarray(o), atol=5e-4)
+
+
+class TestPipelineParallel:
+    """GPipe pipeline over stacked blocks (parallel/pp.py) vs the serial
+    lax.scan it replaces."""
+
+    @staticmethod
+    def _toy(L=16, C=32):
+        k = jax.random.PRNGKey(0)
+        kw, kb, kx = jax.random.split(k, 3)
+        blocks = {
+            "w": jax.random.normal(kw, (L, C, C)) * (0.5 / np.sqrt(C)),
+            "b": jax.random.normal(kb, (L, C)) * 0.1,
+        }
+        x = jax.random.normal(kx, (8, 5, C))
+
+        def block_fn(h, blk):
+            return jnp.tanh(h @ blk["w"] + blk["b"])
+
+        return block_fn, blocks, x
+
+    def test_matches_serial_scan(self):
+        from vicasplat_tpu.parallel import make_mesh_pipe, pipeline_scan
+
+        block_fn, blocks, x = self._toy()
+        mesh = make_mesh_pipe()  # 8 stages, 2 blocks each
+
+        def serial(blocks, x):
+            return jax.lax.scan(
+                lambda h, blk: (block_fn(h, blk), None), x, blocks)[0]
+
+        ref = jax.jit(serial)(blocks, x)
+        for n_micro in (2, 4, 8):
+            got = jax.jit(
+                lambda b, xx, m=n_micro: pipeline_scan(
+                    block_fn, b, xx, mesh, n_micro=m)
+            )(blocks, x)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=1e-6,
+                err_msg=f"n_micro={n_micro}")
+
+    def test_grads_match_serial(self):
+        from vicasplat_tpu.parallel import make_mesh_pipe, pipeline_scan
+
+        block_fn, blocks, x = self._toy(L=8, C=16)
+        mesh = make_mesh_pipe()
+        tgt = jnp.ones_like(x)
+
+        def serial_loss(blocks, x):
+            out = jax.lax.scan(
+                lambda h, blk: (block_fn(h, blk), None), x, blocks)[0]
+            return ((out - tgt) ** 2).mean()
+
+        def pp_loss(blocks, x):
+            out = pipeline_scan(block_fn, blocks, x, mesh, n_micro=4)
+            return ((out - tgt) ** 2).mean()
+
+        ref = jax.jit(jax.grad(serial_loss, argnums=(0, 1)))(blocks, x)
+        got = jax.jit(jax.grad(pp_loss, argnums=(0, 1)))(blocks, x)
+        for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), atol=1e-6)
+
+    def test_sharded_params_placement(self):
+        from vicasplat_tpu.parallel import (
+            make_mesh_pipe, pipeline_scan, shard_params_pp,
+        )
+
+        block_fn, blocks, x = self._toy()
+        mesh = make_mesh_pipe()
+        sharded = shard_params_pp(mesh, blocks)
+        # stage-local shard holds L/S blocks
+        assert sharded["w"].addressable_shards[0].data.shape[0] == 2
+        got = jax.jit(
+            lambda b, xx: pipeline_scan(block_fn, b, xx, mesh, n_micro=4)
+        )(sharded, x)
+
+        def serial(blocks, x):
+            return jax.lax.scan(
+                lambda h, blk: (block_fn(h, blk), None), x, blocks)[0]
+
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(jax.jit(serial)(blocks, x)),
+            atol=1e-6)
+
+    def test_encoder_blocks_pipelined(self):
+        """Real VicaNet encoder blocks through the pipeline == the encoder's
+        own lax.scan (models/vicanet.py)."""
+        from vicasplat_tpu.models.vicanet import (
+            VicaNetConfig, _enc_block_init, _spatial_rope_tables,
+            _enc_block_apply,
+        )
+        from vicasplat_tpu.parallel import make_mesh_pipe, pipeline_scan
+
+        cfg = VicaNetConfig(
+            img_size=32, patch_size=16, enc_embed_dim=64, enc_depth=8,
+            enc_num_heads=4, dec_embed_dim=48, dec_depth=4, dec_num_heads=4,
+        )
+        keys = jax.random.split(jax.random.PRNGKey(0), cfg.enc_depth)
+        blocks = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[_enc_block_init(k, cfg) for k in keys],
+        )
+        cos, sin = _spatial_rope_tables(cfg, cfg.enc_head_dim, (2, 2))
+        # tables cover n_patches + the intrinsic token
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, cos.shape[0], 64))
+
+        def block_fn(h, blk):
+            return _enc_block_apply(
+                blk, h, cos, sin, cfg.enc_num_heads, jnp.float32)
+
+        def serial(blocks, x):
+            return jax.lax.scan(
+                lambda h, blk: (block_fn(h, blk), None), x, blocks)[0]
+
+        mesh = make_mesh_pipe()
+        ref = jax.jit(serial)(blocks, x)
+        got = jax.jit(
+            lambda b, xx: pipeline_scan(block_fn, b, xx, mesh, n_micro=4)
+        )(blocks, x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-5)

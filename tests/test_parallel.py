@@ -350,3 +350,34 @@ class TestPipelineParallel:
         )(blocks, x)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_vicanet_forward_pipelined(self):
+        """vicanet_forward(pipeline_mesh=...) == the serial forward; the
+        B*T frame axis supplies the microbatches."""
+        from vicasplat_tpu.models.vicanet import (
+            VicaNetConfig, init_vicanet, vicanet_forward,
+        )
+        from vicasplat_tpu.parallel import make_mesh_pipe
+
+        cfg = VicaNetConfig(
+            img_size=32, patch_size=16, enc_embed_dim=64, enc_depth=8,
+            enc_num_heads=4, dec_embed_dim=48, dec_depth=4, dec_num_heads=4,
+        )
+        params = init_vicanet(jax.random.PRNGKey(0), cfg)
+        B, T = 2, 4  # B*T = 8 microbatch-able frames
+        imgs = jax.random.uniform(
+            jax.random.PRNGKey(1), (B, T, 32, 32, 3)) * 2 - 1
+        K = jnp.broadcast_to(
+            jnp.array([[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]]),
+            (B, T, 3, 3))
+        mesh = make_mesh_pipe()
+        ref = jax.jit(
+            lambda p: vicanet_forward(p, cfg, imgs, K, dtype=jnp.float32)
+        )(params)
+        got = jax.jit(
+            lambda p: vicanet_forward(p, cfg, imgs, K, dtype=jnp.float32,
+                                      pipeline_mesh=mesh)
+        )(params)
+        for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), atol=1e-5)

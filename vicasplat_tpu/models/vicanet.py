@@ -434,6 +434,8 @@ def vicanet_forward(
     dtype=jnp.bfloat16,
     remat: bool = False,
     remat_policy: Optional[str] = None,
+    pipeline_mesh=None,
+    pipeline_n_micro: Optional[int] = None,
 ):
     """Returns (x_final, camera_extrinsic_tokens, camera_intrinsic_tokens,
     intermediates) where intermediates = [enc_out(1024-d)] + 12 decoder block
@@ -479,7 +481,18 @@ def vicanet_forward(
         return _enc_block_apply(blk, h, cos_e, sin_e, cfg.enc_num_heads, dtype), None
 
     step = jax.checkpoint(enc_step, policy=_policy) if remat else enc_step
-    x, _ = jax.lax.scan(step, x, params["enc_blocks"])
+    if pipeline_mesh is not None:
+        # pipeline the deepest stack over a "pipe" mesh axis: stage-local
+        # block shards, ppermute activation hops (parallel/pp.py). The
+        # frame axis (B*T) supplies the microbatches.
+        from ..parallel.pp import pipeline_scan
+
+        x = pipeline_scan(
+            lambda h, blk: step(h, blk)[0], params["enc_blocks"], x,
+            pipeline_mesh, n_micro=pipeline_n_micro,
+        )
+    else:
+        x, _ = jax.lax.scan(step, x, params["enc_blocks"])
     x = layernorm(params["enc_norm"], x)
 
     enc_out = x.reshape(B, T, N, cfg.enc_embed_dim)

@@ -148,6 +148,7 @@ def vicasplat_forward(
     dtype=jnp.bfloat16,
     remat: bool = False,
     remat_policy=None,
+    pipeline_mesh=None,
 ) -> dict:
     images = context["image"]  # (B, T, H, W, 3), normalized to [-1, 1]
     B, T, H, W, _ = images.shape
@@ -156,6 +157,7 @@ def vicasplat_forward(
     _, camera_embeds, global_embeds, interms = vicanet_forward(
         params["backbone"], bb, images, context.get("intrinsics"),
         dtype=dtype, remat=remat, remat_policy=remat_policy,
+        pipeline_mesh=pipeline_mesh,
     )
 
     # ---- camera pose ----

@@ -27,6 +27,8 @@ print("worker ready:", jax.devices(), flush=True)
 
 import gc
 
+last_work = time.time()
+
 while True:
     for job in sorted(JOBS.glob("*.py")):
         out_path = job.with_suffix(".out")
@@ -53,6 +55,16 @@ while True:
             buf.getvalue() + f"\n[{status} in {time.time() - t0:.1f}s]\n"
         )
         print(f"job {job.name}: {status}", flush=True)
+        last_work = time.time()
     if (JOBS / ".stop").exists():
+        break
+    # auto-exit after 10 idle minutes: an idle worker still holds the
+    # chip claim, which would block the driver's end-of-round bench.py.
+    # The keepalive only relaunches when pending jobs exist.
+    pending = any(
+        not j.with_suffix(".out").exists() for j in JOBS.glob("*.py")
+    )
+    if not pending and time.time() - last_work > 600:
+        print("idle 10 min with empty queue — releasing the chip", flush=True)
         break
     time.sleep(2)

@@ -11,6 +11,17 @@ while true; do
     sleep 30
     continue
   fi
+  # only relaunch when there is pending work: an idle worker holds the
+  # chip claim and would block the driver's end-of-round bench.py
+  pending=0
+  for j in tools/jobs/*.py; do
+    [ -e "$j" ] || continue
+    [ -f "${j%.py}.out" ] || { pending=1; break; }
+  done
+  if [ "$pending" = "0" ]; then
+    sleep 30
+    continue
+  fi
   rm -f tools/jobs/.ready
   nohup python tools/tpu_worker.py > tools/worker.log 2>&1 &
   echo $! > tools/worker.pid

@@ -348,3 +348,65 @@ class TestLoaderConfigSchema:
             {"re10k": {}}, {"train": {"re10k": {"batch_size": 8}}}
         )
         assert dm.train_batch_size() == 8
+
+
+class TestNativeJpegDecode:
+    """C++ libjpeg batch decoder (data/native/) vs the PIL fallback."""
+
+    @staticmethod
+    def _jpegs(n=4, hw=(48, 64), quality=90):
+        import io
+
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        bufs = []
+        for _ in range(n):
+            img = Image.fromarray(
+                rng.integers(0, 255, (*hw, 3), dtype=np.uint8), "RGB")
+            b = io.BytesIO()
+            img.save(b, "JPEG", quality=quality)
+            bufs.append(np.frombuffer(b.getvalue(), np.uint8))
+        return bufs
+
+    def test_matches_pil_exactly(self):
+        import io
+
+        import pytest
+        from PIL import Image
+
+        from vicasplat_tpu.data.native import decode_jpegs_u8_native, load
+
+        if load() is None:
+            pytest.skip("native decoder unavailable (no g++/libjpeg)")
+        bufs = self._jpegs()
+        out = decode_jpegs_u8_native(bufs)
+        assert out is not None and out.shape == (4, 48, 64, 3)
+        pil = np.stack([
+            np.asarray(Image.open(io.BytesIO(b.tobytes())).convert("RGB"))
+            for b in bufs
+        ])
+        # both paths are libjpeg underneath -> bit-identical
+        np.testing.assert_array_equal(out, pil)
+
+    def test_fallbacks_return_none(self):
+        import pytest
+
+        from vicasplat_tpu.data.native import decode_jpegs_u8_native, load
+
+        if load() is None:
+            pytest.skip("native decoder unavailable (no g++/libjpeg)")
+        bufs = self._jpegs(2)
+        mixed = bufs + self._jpegs(1, hw=(32, 32))
+        assert decode_jpegs_u8_native(mixed) is None
+        assert decode_jpegs_u8_native(
+            [np.frombuffer(b"not a jpeg", np.uint8)]) is None
+
+    def test_decode_jpegs_u8_uses_it(self):
+        """The dataset decode entry point returns identical pixels whether
+        or not the native path serves the batch."""
+        from vicasplat_tpu.data.dataset_re10k import decode_jpegs_u8
+
+        bufs = self._jpegs(3)
+        out = decode_jpegs_u8(bufs)
+        assert out.shape == (3, 48, 64, 3) and out.dtype == np.uint8

@@ -69,7 +69,16 @@ def decode_jpegs_u8(raw_list) -> np.ndarray:
     """list of raw-JPEG byte arrays -> (V, H, W, 3) uint8. The hot path
     stays u8 until after resize+crop (shims.rescale_and_crop_u8): full-res
     f32 intermediates dominated the 1-core pipeline profile 4:1 over the
-    actual JPEG decode."""
+    actual JPEG decode.
+
+    Decode itself prefers the native C++ libjpeg batch decoder
+    (data/native/ — threaded, GIL-free); PIL remains the fallback for
+    missing toolchains, mixed frame sizes, or corrupt streams."""
+    from .native import decode_jpegs_u8_native
+
+    out = decode_jpegs_u8_native(raw_list)
+    if out is not None:
+        return out
     images = []
     for raw in raw_list:
         buf = np.asarray(raw, dtype=np.uint8).tobytes()

@@ -85,8 +85,11 @@ def decode_jpegs_u8_native(raw_list, n_threads: int = 0):
     lib = load()
     if lib is None or not raw_list:
         return None
+    # convert through the buffer protocol: bytes(torch_tensor) would
+    # iterate PER BYTE via Tensor.unbind (measured 0.3 s/frame)
     bufs = [
-        b.tobytes() if isinstance(b, np.ndarray) else bytes(b)
+        bytes(b) if isinstance(b, (bytes, bytearray, memoryview))
+        else np.asarray(b, dtype=np.uint8).tobytes()
         for b in raw_list
     ]
     w0 = ctypes.c_int(0)

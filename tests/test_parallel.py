@@ -381,3 +381,22 @@ class TestPipelineParallel:
         for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
             np.testing.assert_allclose(
                 np.asarray(g), np.asarray(r), atol=1e-5)
+
+    def test_pp_composes_with_dp(self):
+        """4 pipeline stages x 2 data shards on a 2-D mesh == serial."""
+        from vicasplat_tpu.parallel import make_mesh_pipe_data, pipeline_scan
+
+        block_fn, blocks, x = self._toy(L=8, C=16)  # x: (8, 5, 16)
+        mesh = make_mesh_pipe_data(4, 2)
+
+        def serial(blocks, x):
+            return jax.lax.scan(
+                lambda h, blk: (block_fn(h, blk), None), x, blocks)[0]
+
+        ref = jax.jit(serial)(blocks, x)
+        got = jax.jit(
+            lambda b, xx: pipeline_scan(
+                block_fn, b, xx, mesh, n_micro=2, data_axis="data")
+        )(blocks, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)

@@ -42,6 +42,15 @@ def make_mesh_pipe(n_stages: Optional[int] = None,
     return Mesh(np.array(devs), (axis_name,))
 
 
+def make_mesh_pipe_data(n_stages: int, n_data: int,
+                        axis_names: tuple = ("pipe", "data")) -> Mesh:
+    """2-D mesh composing pipeline stages with data parallelism: each
+    stage's blocks replicate over the data axis, each microbatch's batch
+    dim shards over it."""
+    devs = np.array(jax.devices()[: n_stages * n_data])
+    return Mesh(devs.reshape(n_stages, n_data), axis_names)
+
+
 def shard_params_pp(mesh: Mesh, stacked, axis_name: str = "pipe"):
     """Shard every leaf of a stacked-block pytree along its leading (block)
     axis over the pipe axis: stage s materializes only its L/S blocks."""
@@ -66,6 +75,7 @@ def pipeline_scan(
     *,
     axis_name: str = "pipe",
     n_micro: Optional[int] = None,
+    data_axis: Optional[str] = None,
 ):
     """Run ``x`` through all L stacked blocks, pipelined over the mesh.
 
@@ -76,6 +86,9 @@ def pipeline_scan(
     block_fn: (activation, one-block params) -> activation, shape-preserving.
     x: (B, ...) activations; B must be divisible by n_micro.
     n_micro: microbatch count M (default: the stage count S).
+    data_axis: on a 2-D mesh (make_mesh_pipe_data), additionally shard the
+      within-microbatch batch dim over this axis — pipeline x data
+      parallelism; blocks replicate over it.
     """
     S = mesh.shape[axis_name]
     L = jax.tree.leaves(stacked_params)[0].shape[0]
@@ -83,6 +96,11 @@ def pipeline_scan(
     M = int(n_micro) if n_micro is not None else S
     B = x.shape[0]
     assert B % M == 0, f"batch {B} not divisible by {M} microbatches"
+    if data_axis is not None:
+        D = mesh.shape[data_axis]
+        assert (B // M) % D == 0, (
+            f"microbatch {B // M} not divisible by data axis {D}"
+        )
     xm = x.reshape(M, B // M, *x.shape[1:])
     fwd = [(i, i + 1) for i in range(S - 1)]
 
@@ -130,11 +148,13 @@ def pipeline_scan(
     spec_blocks = jax.tree.map(
         lambda l: P(axis_name, *([None] * (l.ndim - 1))), stacked_params
     )
+    spec_x = P(None, data_axis) if data_axis is not None else P()
     out = shard_map(
         stage_fn,
         mesh=mesh,
-        in_specs=(spec_blocks, P()),
-        out_specs=P(axis_name),
+        in_specs=(spec_blocks, spec_x),
+        out_specs=P(axis_name, None, data_axis)
+        if data_axis is not None else P(axis_name),
         check_rep=False,
     )(stacked_params, xm)
     return out[-1].reshape(B, *x.shape[1:])

@@ -58,3 +58,17 @@ def test_train_checkpoints_and_visuals(synth_root, tmp_path):
     cfg2 = _cfg(synth_root, tmp_path, extra=["checkpointing.resume=true"])
     train(cfg2)
     assert sorted((tmp_path / "ckpts").glob("step_*"))
+
+
+def test_train_profiler_trace(synth_root, tmp_path):
+    """trainer.profile_dir captures a jax.profiler trace window (SURVEY §5
+    tracing equivalent)."""
+    cfg = _cfg(synth_root, tmp_path, extra=[
+        f"trainer.profile_dir={tmp_path}/trace",
+        "trainer.profile_start=1",
+        "trainer.profile_steps=2",
+    ])
+    train(cfg)
+    traces = list((tmp_path / "trace").rglob("*.trace.json.gz"))
+    traces += list((tmp_path / "trace").rglob("*.xplane.pb"))
+    assert traces, "no profiler trace written"

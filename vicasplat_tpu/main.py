@@ -135,6 +135,7 @@ def train(cfg):
     with mesh:
         params = replicate(mesh, params)
         opt_state = replicate(mesh, opt_state)
+        profiling = False
         while global_step < max_steps:
             loader = dm.train_dataloader()
             for batch in loader:
@@ -143,11 +144,23 @@ def train(cfg):
                 phase = pick_phase(
                     train_cfg, global_step, teacher_fn is not None
                 )
+                if (cfg.trainer.profile_dir and not profiling
+                        and global_step == cfg.trainer.profile_start):
+                    jax.profiler.start_trace(cfg.trainer.profile_dir)
+                    profiling = True
                 params, opt_state, logs = step_fn(
                     params, opt_state, batch, global_step, phase=phase
                 )
                 global_step += 1
                 step_tracker.set_step(global_step)
+                if (profiling and global_step
+                        >= cfg.trainer.profile_start
+                        + cfg.trainer.profile_steps):
+                    jax.block_until_ready(params)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"profiler trace ({cfg.trainer.profile_steps} "
+                          f"steps) -> {cfg.trainer.profile_dir}")
                 if global_step % cfg.train.print_log_every_n_steps == 0:
                     logs = jax.device_get(logs)
                     dt = time.perf_counter() - t_last

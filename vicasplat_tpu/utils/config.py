@@ -78,6 +78,12 @@ class TrainerConfig:
     gradient_clip_val: float = 0.5
     num_nodes: int = 1
     precision: str = "bfloat16"
+    # jax.profiler trace window (TensorBoard/XProf; the TPU-native analogue
+    # of the reference's Benchmarker wall-clock hooks — SURVEY §5 tracing).
+    # Traces steps [profile_start, profile_start + profile_steps).
+    profile_dir: Optional[str] = None
+    profile_start: int = 5
+    profile_steps: int = 3
 
 
 @dataclasses.dataclass(frozen=True)

@@ -400,3 +400,27 @@ class TestPipelineParallel:
         )(blocks, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-6)
+
+    def test_grads_match_with_remat_blocks(self):
+        """jax.checkpoint-wrapped block_fn composes with the pipeline (the
+        training configuration: remat inside, pipeline outside)."""
+        from vicasplat_tpu.parallel import make_mesh_pipe, pipeline_scan
+
+        block_fn, blocks, x = self._toy(L=8, C=16)
+        ck_block = jax.checkpoint(block_fn)
+        mesh = make_mesh_pipe()
+
+        def serial_loss(blocks, x):
+            out = jax.lax.scan(
+                lambda h, blk: (ck_block(h, blk), None), x, blocks)[0]
+            return (out ** 2).mean()
+
+        def pp_loss(blocks, x):
+            out = pipeline_scan(ck_block, blocks, x, mesh, n_micro=4)
+            return (out ** 2).mean()
+
+        ref = jax.jit(jax.grad(serial_loss))(blocks, x)
+        got = jax.jit(jax.grad(pp_loss))(blocks, x)
+        for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=1e-6)

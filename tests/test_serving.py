@@ -66,6 +66,41 @@ class TestHTTP:
             srv.shutdown()
             srv.server_close()
 
+    def test_reconstruct_endpoint_jpeg(self):
+        """Compressed request: concatenated JPEG frames + sizes + (B, T)."""
+        import json
+
+        from PIL import Image
+
+        cfg = tiny_cfg()
+        eng = InferenceEngine(cfg, dtype=jnp.float32)
+        srv = serve(eng, port=18745, block=False)
+        try:
+            images, K = _inputs()
+            u8 = np.asarray(images * 255, np.uint8).reshape(-1, 32, 32, 3)
+            frames = []
+            for f in u8:
+                b = io.BytesIO()
+                Image.fromarray(f, "RGB").save(b, "JPEG", quality=95)
+                frames.append(np.frombuffer(b.getvalue(), np.uint8))
+            buf = io.BytesIO()
+            np.savez(
+                buf,
+                jpeg_data=np.concatenate(frames),
+                jpeg_sizes=np.array([len(f) for f in frames], np.int64),
+                batch_shape=np.array(images.shape[:2], np.int64),
+                intrinsics=np.asarray(K, np.float32),
+            )
+            req = urllib.request.Request(
+                "http://127.0.0.1:18745/reconstruct", data=buf.getvalue(),
+                method="POST")
+            body = json.loads(urllib.request.urlopen(req, timeout=60).read())
+            assert body["num_gaussians"] == 3 * 32 * 32
+            assert len(body["poses"][0]) == 3
+        finally:
+            srv.shutdown()
+            srv.server_close()
+
 
 class TestViewMesh:
     def test_render_with_view_mesh_matches_serial(self):

@@ -196,7 +196,25 @@ def make_handler(engine: InferenceEngine):
             length = int(self.headers["Content-Length"])
             payload = np.load(io.BytesIO(self.rfile.read(length)),
                               allow_pickle=False)
-            images = payload["images"]  # (B, T, H, W, 3) float32 [0,1]
+            if "jpeg_data" in payload:
+                # compressed request (~20x smaller than raw f32): frames as
+                # one concatenated JPEG byte stream + per-frame sizes +
+                # (B, T); decoded by the native batch decoder (data/native),
+                # PIL fallback inside decode_jpegs_u8
+                from .data.dataset_re10k import decode_jpegs_u8
+
+                sizes = payload["jpeg_sizes"].astype(np.int64)
+                data = payload["jpeg_data"]
+                ends = np.cumsum(sizes)
+                bufs = [data[e - s:e] for s, e in zip(sizes, ends)]
+                bt_shape = tuple(payload["batch_shape"])  # (B, T)
+                u8 = decode_jpegs_u8(bufs)  # (B*T, H, W, 3) u8
+                images = (
+                    u8.reshape(*bt_shape, *u8.shape[1:]).astype(np.float32)
+                    / 255.0
+                )
+            else:
+                images = payload["images"]  # (B, T, H, W, 3) float32 [0,1]
             intr = payload["intrinsics"] if "intrinsics" in payload else None
             t0 = time.perf_counter()
             scene = engine.reconstruct(images, intr)

@@ -424,3 +424,73 @@ class TestPipelineParallel:
         for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
             np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                        atol=1e-6)
+
+    def test_tuple_carry_and_collected_outputs(self):
+        """Pytree carries + collect_outputs: per-block ys come back in
+        serial block order (the decoder-hook contract)."""
+        from vicasplat_tpu.parallel import make_mesh_pipe, pipeline_scan
+
+        L, C = 8, 16
+        k = jax.random.PRNGKey(0)
+        kw, kb, kx, ky = jax.random.split(k, 4)
+        blocks = {
+            "w": jax.random.normal(kw, (L, C, C)) * (0.5 / np.sqrt(C)),
+            "b": jax.random.normal(kb, (L, C)) * 0.1,
+        }
+        a = jax.random.normal(kx, (8, 5, C))
+        c = jax.random.normal(ky, (8, C))
+
+        def block_fn(carry, blk):
+            a, c = carry
+            a = jnp.tanh(a @ blk["w"] + blk["b"])
+            c = jnp.tanh(c @ blk["w"])
+            return (a, c), a  # per-block output = the img-like leaf
+
+        def serial(blocks, a, c):
+            return jax.lax.scan(block_fn, (a, c), blocks)
+
+        ref_carry, ref_ys = jax.jit(serial)(blocks, a, c)
+        mesh = make_mesh_pipe()
+        got_carry, got_ys = jax.jit(
+            lambda b, aa, cc: pipeline_scan(
+                block_fn, b, (aa, cc), mesh, n_micro=4,
+                collect_outputs=True)
+        )(blocks, a, c)
+        # serial scan stacks ys as (L, B, ...); pipeline must match
+        np.testing.assert_allclose(np.asarray(got_ys), np.asarray(ref_ys),
+                                   atol=1e-6)
+        for r, g in zip(ref_carry, got_carry):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=1e-6)
+
+    def test_vicanet_decoder_pipelined(self):
+        """Full vicanet_forward with BOTH stacks pipelined (4 stages;
+        enc/dec depths divisible) == serial, including the DPT hook
+        intermediates."""
+        from vicasplat_tpu.models.vicanet import (
+            VicaNetConfig, init_vicanet, vicanet_forward,
+        )
+        from vicasplat_tpu.parallel import make_mesh_pipe
+
+        cfg = VicaNetConfig(
+            img_size=32, patch_size=16, enc_embed_dim=64, enc_depth=8,
+            enc_num_heads=4, dec_embed_dim=48, dec_depth=8, dec_num_heads=4,
+        )
+        params = init_vicanet(jax.random.PRNGKey(0), cfg)
+        B, T = 2, 4
+        imgs = jax.random.uniform(
+            jax.random.PRNGKey(1), (B, T, 32, 32, 3)) * 2 - 1
+        K = jnp.broadcast_to(
+            jnp.array([[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]]),
+            (B, T, 3, 3))
+        mesh = make_mesh_pipe(4)
+        ref = jax.jit(
+            lambda p: vicanet_forward(p, cfg, imgs, K, dtype=jnp.float32)
+        )(params)
+        got = jax.jit(
+            lambda p: vicanet_forward(p, cfg, imgs, K, dtype=jnp.float32,
+                                      pipeline_mesh=mesh)
+        )(params)
+        for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=1e-5)

@@ -482,11 +482,12 @@ def vicanet_forward(
 
     step = jax.checkpoint(enc_step, policy=_policy) if remat else enc_step
     if pipeline_mesh is not None:
+        from ..parallel.pp import pipeline_scan
+    if (pipeline_mesh is not None
+            and cfg.enc_depth % pipeline_mesh.shape["pipe"] == 0):
         # pipeline the deepest stack over a "pipe" mesh axis: stage-local
         # block shards, ppermute activation hops (parallel/pp.py). The
         # frame axis (B*T) supplies the microbatches.
-        from ..parallel.pp import pipeline_scan
-
         x = pipeline_scan(
             lambda h, blk: step(h, blk)[0], params["enc_blocks"], x,
             pipeline_mesh, n_micro=pipeline_n_micro,
@@ -525,7 +526,22 @@ def vicanet_forward(
         return (img, cam), img
 
     step = jax.checkpoint(dec_step, policy=_policy) if remat else dec_step
-    (img, cam), inter = jax.lax.scan(step, (img, cam), params["dec_blocks"])
+    if (pipeline_mesh is not None
+            and cfg.dec_depth % pipeline_mesh.shape["pipe"] == 0):
+        # decoder attention is joint over all frames, so only the example
+        # axis B microbatches (B=1 still gets the S-fold param-memory win,
+        # just no bubble overlap); per-block outputs are the DPT hooks.
+        import math as _math
+
+        n_req = pipeline_n_micro or pipeline_mesh.shape["pipe"]
+        (img, cam), inter = pipeline_scan(
+            step, params["dec_blocks"], (img, cam), pipeline_mesh,
+            n_micro=max(1, _math.gcd(B, n_req)), collect_outputs=True,
+        )
+    else:
+        (img, cam), inter = jax.lax.scan(
+            step, (img, cam), params["dec_blocks"]
+        )
 
     # intermediates: [enc_out] + per-block outputs, last one layer-normed
     intermediates = [enc_out] + [inter[i] for i in range(cfg.dec_depth)]

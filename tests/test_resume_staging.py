@@ -56,6 +56,7 @@ class TestResume:
             2, jax.device_get(p), opt_state=jax.device_get(s),
             extra={"step": np.asarray(2, np.int64)},
         )
+        ckpt.finalize()  # async write must land before the "crashed" restore
         del p, s
 
         fresh_params = init_vicasplat(jax.random.PRNGKey(99), cfg.model)
@@ -75,6 +76,7 @@ class TestResume:
         opt_state = optimizer.init(params)
         ckpt = CheckpointManager(tmp_path / "ck", every_n_steps=1)
         ckpt.save(3, jax.device_get(params))  # weights only
+        ckpt.finalize()
         p2, s2, start = restore_train_state(ckpt.latest(), params, opt_state)
         assert start == 0  # no step info -> start fresh
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):

@@ -110,9 +110,33 @@ class TestCheckpointing:
         for step in (10, 20, 30):
             assert cm.should_save(step)
             cm.save(step, params)
+        cm.finalize()  # drain the async write before reading back
         assert not cm.should_save(5)
         ckpts = sorted(p.name for p in tmp_path.glob("step_*"))
         assert ckpts == ["step_00000020", "step_00000030"]
+        back = cm.restore(template={"params": params})
+        np.testing.assert_allclose(back["params"]["a"], params["a"])
+
+    def test_latest_ignores_inflight_tmp_dirs(self, tmp_path):
+        # orbax writes to step_X.orbax-checkpoint-tmp-<ts> and renames on
+        # completion; latest()/pruning must never pick up an in-flight dir
+        from vicasplat_tpu.utils.checkpointing import CheckpointManager
+
+        cm = CheckpointManager(tmp_path, keep=1)
+        cm.save(10, {"a": jnp.ones(3)})
+        cm.finalize()
+        (tmp_path / "step_00000020.orbax-checkpoint-tmp-99").mkdir()
+        assert cm.latest().name == "step_00000010"
+        cm._prune()  # must not count the tmp dir against keep=1
+        assert (tmp_path / "step_00000010").exists()
+
+    def test_sync_mode(self, tmp_path):
+        from vicasplat_tpu.utils.checkpointing import CheckpointManager
+
+        cm = CheckpointManager(tmp_path, async_save=False)
+        params = {"a": jnp.arange(4.0)}
+        cm.save(10, params)  # completed on return, no finalize needed
+        assert cm.latest().name == "step_00000010"
         back = cm.restore(template={"params": params})
         np.testing.assert_allclose(back["params"]["a"], params["a"])
 

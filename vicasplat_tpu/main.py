@@ -79,6 +79,7 @@ def train(cfg):
         cfg.checkpointing.output_dir,
         every_n_steps=cfg.checkpointing.every_n_train_steps,
         keep=cfg.checkpointing.save_top_k,
+        async_save=cfg.checkpointing.async_save,
     )
 
     # data-parallel mesh: use the largest device count that divides the
@@ -189,6 +190,7 @@ def train(cfg):
             # stop prefetch threads left mid-epoch by the max_steps break
             loader.close()
     save_ckpt(global_step)
+    ckpt.finalize()
     if writer is not None:
         writer.close()
     print("training done")

@@ -15,11 +15,37 @@ import jax
 
 
 class CheckpointManager:
-    def __init__(self, directory, every_n_steps: int = 5000, keep: int = 5):
+    """Step checkpoints with top-k retention.
+
+    With ``async_save=True`` (the default) the disk write overlaps training:
+    ``save()`` hands the (host) pytree to an orbax ``AsyncCheckpointer`` and
+    returns immediately; the next ``save()`` first drains the previous write,
+    and ``finalize()`` must be called once after the last save. Orbax writes
+    to a ``*.orbax-checkpoint-tmp-*`` sibling and renames on completion, so
+    ``latest()``/pruning only ever see finished checkpoints (the glob filter
+    below excludes in-flight tmp dirs).
+    """
+
+    def __init__(self, directory, every_n_steps: int = 5000, keep: int = 5,
+                 async_save: bool = True):
         self.directory = pathlib.Path(directory)
         self.directory.mkdir(parents=True, exist_ok=True)
         self.every_n_steps = every_n_steps
         self.keep = keep
+        self.async_save = async_save
+        self._ckptr = None
+
+    def _checkpointer(self):
+        import orbax.checkpoint as ocp
+
+        if self._ckptr is None:
+            if self.async_save:
+                self._ckptr = ocp.AsyncCheckpointer(
+                    ocp.StandardCheckpointHandler()
+                )
+            else:
+                self._ckptr = ocp.StandardCheckpointer()
+        return self._ckptr
 
     def _ckpt_path(self, step: int) -> pathlib.Path:
         return self.directory / f"step_{step:08d}"
@@ -28,29 +54,45 @@ class CheckpointManager:
         return step > 0 and step % self.every_n_steps == 0
 
     def save(self, step: int, params, opt_state=None, extra: Optional[dict] = None):
-        import orbax.checkpoint as ocp
-
+        ckptr = self._checkpointer()
+        # drain the previous async write before reusing the checkpointer
+        # (also makes the pruning below see it as a completed dir)
+        ckptr.wait_until_finished()
         path = self._ckpt_path(step)
         if path.exists():
             shutil.rmtree(path)
-        ckptr = ocp.StandardCheckpointer()
         payload = {"params": params}
         if opt_state is not None:
             payload["opt_state"] = opt_state
         if extra:
             payload["extra"] = extra
         ckptr.save(path.absolute(), payload)
-        ckptr.wait_until_finished()
+        if not self.async_save:
+            ckptr.wait_until_finished()
         self._prune()
         return path
 
+    def finalize(self):
+        """Block until any in-flight async write has landed. Call once after
+        the final save (and before reading the checkpoint back)."""
+        if self._ckptr is not None:
+            self._ckptr.wait_until_finished()
+        self._prune()
+
+    def _completed(self):
+        import re
+
+        return sorted(
+            p for p in self.directory.glob("step_*")
+            if re.fullmatch(r"step_\d+", p.name)
+        )
+
     def _prune(self):
-        ckpts = sorted(self.directory.glob("step_*"))
-        for old in ckpts[: -self.keep]:
+        for old in self._completed()[: -self.keep]:
             shutil.rmtree(old, ignore_errors=True)
 
     def latest(self) -> Optional[pathlib.Path]:
-        ckpts = sorted(self.directory.glob("step_*"))
+        ckpts = self._completed()
         return ckpts[-1] if ckpts else None
 
     def restore(self, path=None, template: Any = None):

@@ -39,6 +39,8 @@ class CheckpointingConfig:
     save_top_k: int = 5
     save_weights_only: bool = True
     output_dir: str = "checkpoints"
+    # overlap the checkpoint disk write with training (orbax AsyncCheckpointer)
+    async_save: bool = True
     # auto-restore {params, opt_state, step} from the newest checkpoint in
     # output_dir (the reference resumes full Lightning state via
     # trainer.fit(ckpt_path=...), reference main.py:175, config/main.yaml:40-44)

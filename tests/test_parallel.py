@@ -69,6 +69,48 @@ class TestMesh:
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
 
 
+class TestShardedRestore:
+    def test_restore_onto_mesh(self, tmp_path):
+        """restore_train_state(sharding=...) places each leaf straight on
+        the mesh (replicated or FSDP-ruled) without a host-numpy bounce."""
+        from jax.sharding import NamedSharding, PartitionSpec
+        from vicasplat_tpu.utils.checkpointing import (
+            CheckpointManager, restore_train_state,
+        )
+
+        mesh = make_mesh()
+        params = {"big": jnp.arange(1024.0 * 16).reshape(1024, 16),
+                  "small": jnp.arange(4.0)}
+        opt_state = {"mu": jax.tree.map(jnp.zeros_like, params)}
+        cm = CheckpointManager(tmp_path, every_n_steps=1)
+        cm.save(7, jax.device_get(params), opt_state=jax.device_get(opt_state),
+                extra={"step": np.asarray(7, np.int64)})
+        cm.finalize()
+
+        # replicated restore
+        repl = NamedSharding(mesh, PartitionSpec())
+        p, s, step = restore_train_state(cm.latest(), params, opt_state,
+                                         sharding=repl)
+        assert step == 7
+        assert p["big"].sharding.is_fully_replicated
+        np.testing.assert_allclose(np.asarray(p["big"]), np.asarray(params["big"]))
+        np.testing.assert_allclose(np.asarray(s["mu"]["small"]), 0.0)
+
+        # FSDP-style placement rule: shard large leaves on dim 0
+        def rule(x):
+            if x.ndim and x.shape[0] % 8 == 0 and x.size >= 1024:
+                return NamedSharding(mesh, PartitionSpec("data"))
+            return repl
+
+        p2, _, _ = restore_train_state(cm.latest(), params, opt_state,
+                                       sharding=rule)
+        assert not p2["big"].sharding.is_fully_replicated
+        assert p2["big"].addressable_shards[0].data.shape == (128, 16)
+        assert p2["small"].sharding.is_fully_replicated
+        np.testing.assert_allclose(np.asarray(p2["big"]),
+                                   np.asarray(params["big"]))
+
+
 class TestTensorParallel:
     """Megatron-style TP over a ("data","model") mesh: parameter shardings
     alone (XLA SPMD propagation) must reproduce the replicated forward."""

@@ -100,8 +100,14 @@ def train(cfg):
 
         latest = ckpt.latest()
         if latest is not None:
+            # restore straight onto the mesh (replicated): orbax places each
+            # leaf per-device, no host bounce; the replicate() below is then
+            # a no-op device_put
+            from jax.sharding import NamedSharding, PartitionSpec
+
             params, opt_state, start_step = restore_train_state(
-                latest, params, opt_state
+                latest, params, opt_state,
+                sharding=NamedSharding(mesh, PartitionSpec()),
             )
             print(f"resumed full train state from {latest} at step {start_step}")
     lpips_fn = _maybe_lpips(cfg)

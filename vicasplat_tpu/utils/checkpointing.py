@@ -107,10 +107,29 @@ class CheckpointManager:
         return ckptr.restore(path.absolute())
 
 
-def restore_train_state(path, params_template, opt_state_template):
+def _abstract_with_sharding(tree, sharding):
+    """Turn a concrete template pytree into jax.ShapeDtypeStructs carrying a
+    target sharding, so orbax restores straight onto the device mesh (each
+    host reads only its shards) instead of bouncing through host numpy.
+    `sharding` is a jax.sharding.Sharding applied to every leaf, or a
+    callable leaf -> Sharding (e.g. the FSDP placement rule)."""
+    fn = sharding if callable(sharding) else (lambda _: sharding)
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=fn(x)),
+        tree,
+    )
+
+
+def restore_train_state(path, params_template, opt_state_template,
+                        sharding=None):
     """Full-state restore for training resume: returns
     (params, opt_state, step). Falls back to weights-only checkpoints
     (opt_state/step keep their passed-in values, step 0).
+
+    With `sharding` (a Sharding or callable leaf -> Sharding), params and
+    opt_state come back as jax.Arrays already placed on the mesh with that
+    sharding — the multi-host-ready path: no full-host gather, no second
+    device_put. Without it, plain host numpy (single-host behavior).
 
     Parity: the reference resumes optimizer moments + global step through
     Lightning's trainer.fit(ckpt_path=...) (reference main.py:175) when
@@ -122,9 +141,13 @@ def restore_train_state(path, params_template, opt_state_template):
 
     path = pathlib.Path(path)
     ckptr = ocp.StandardCheckpointer()
+    p_t, o_t = params_template, opt_state_template
+    if sharding is not None:
+        p_t = _abstract_with_sharding(p_t, sharding)
+        o_t = _abstract_with_sharding(o_t, sharding)
     template = {
-        "params": params_template,
-        "opt_state": opt_state_template,
+        "params": p_t,
+        "opt_state": o_t,
         "extra": {"step": np.zeros((), np.int64)},
     }
     try:

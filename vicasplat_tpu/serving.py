@@ -71,8 +71,9 @@ class InferenceEngine:
 
     # ---- jitted programs, cached per input shape ----
 
-    @functools.lru_cache(maxsize=8)
-    def _reconstruct_fn(self, shape):
+    def _reconstruct_raw(self):
+        """The un-jitted reconstruct program (also the AOT-export surface,
+        export.py)."""
         def fn(params, images01, intrinsics):
             ctx = {"image": normalize_images(images01, self.cfg)}
             if intrinsics is not None:
@@ -81,10 +82,14 @@ class InferenceEngine:
             return (out["gaussians"], out["gaussian_camera_extrins"],
                     out["gaussian_camera_intrins"])
 
-        return jax.jit(fn, static_argnames=())
+        return fn
 
     @functools.lru_cache(maxsize=8)
-    def _render_fn(self, vshape, image_shape):
+    def _reconstruct_fn(self, shape):
+        return jax.jit(self._reconstruct_raw())
+
+    def _render_raw(self, image_shape):
+        """The un-jitted render program for a static output resolution."""
         def fn(params_unused, gaussians, extrinsics, intrinsics, near, far):
             if self.view_mesh is not None:
                 from .parallel.view_parallel import decoder_forward_view_sharded
@@ -98,7 +103,11 @@ class InferenceEngine:
                 image_shape,
             )
 
-        return jax.jit(fn)
+        return fn
+
+    @functools.lru_cache(maxsize=8)
+    def _render_fn(self, vshape, image_shape):
+        return jax.jit(self._render_raw(image_shape))
 
     # ---- public API ----
 

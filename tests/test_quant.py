@@ -1,0 +1,75 @@
+"""Int8 W8A8 serving path: op-level error bounds, tree surgery, and the
+quantized engine end-to-end (ops/quant.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.test_model import tiny_cfg
+from vicasplat_tpu.models.layers import linear, linear_init
+from vicasplat_tpu.ops.quant import (
+    cast_tree_preserving_quant, linear_w8a8, quantize_linear, quantize_tree,
+)
+from vicasplat_tpu.serving import InferenceEngine
+
+
+class TestQuantOps:
+    def test_linear_w8a8_matches_f32_closely(self):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        p = linear_init(k1, 256, 512)
+        p["b"] = jax.random.normal(k2, (512,)) * 0.1
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 33, 256))
+        ref = linear(p, x)
+        out = linear_w8a8(quantize_linear(p), x)
+        # symmetric per-channel int8: ~0.5-1% relative error on gaussians
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.02, rel
+
+    def test_linear_dispatches_on_quantized_params(self):
+        p = linear_init(jax.random.PRNGKey(0), 64, 64)
+        x = jax.random.normal(jax.random.PRNGKey(1), (5, 64))
+        pq = quantize_linear(p)
+        np.testing.assert_array_equal(
+            np.asarray(linear(pq, x)), np.asarray(linear_w8a8(pq, x)))
+
+    def test_quantize_tree_thresholds_and_structure(self):
+        tree = {
+            "big": linear_init(jax.random.PRNGKey(0), 128, 256),   # 32768
+            "small": linear_init(jax.random.PRNGKey(1), 8, 8),     # 64
+            "conv": {"w": jnp.ones((3, 3, 8, 8))},                 # 4-D: skip
+            "nested": {"inner": linear_init(jax.random.PRNGKey(2), 256, 128)},
+        }
+        out, n = quantize_tree(tree, min_size=1 << 14)
+        assert n == 2
+        assert out["big"]["w_q"].dtype == jnp.int8
+        assert out["small"]["w"].dtype == jnp.float32
+        assert out["conv"]["w"].shape == (3, 3, 8, 8)
+        assert out["nested"]["inner"]["w_s"].shape == (128,)
+
+    def test_cast_preserves_quant_dtypes(self):
+        tree, _ = quantize_tree(
+            {"l": linear_init(jax.random.PRNGKey(0), 128, 256)}, min_size=1)
+        cast = cast_tree_preserving_quant(tree, jnp.bfloat16)
+        assert cast["l"]["w_q"].dtype == jnp.int8
+        assert cast["l"]["w_s"].dtype == jnp.float32
+        assert cast["l"]["b"].dtype == jnp.bfloat16
+
+
+class TestQuantizedEngine:
+    def test_reconstruct_close_to_f32(self):
+        cfg = tiny_cfg()
+        images = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 32, 32, 3))
+        K = jnp.broadcast_to(
+            jnp.array([[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]]),
+            (1, 3, 3, 3))
+        ref_eng = InferenceEngine(cfg, dtype=jnp.float32)
+        q_eng = InferenceEngine(cfg, params=jax.device_get(ref_eng.params),
+                                dtype=jnp.float32, quantize=1)
+        assert q_eng.n_quantized > 0
+        ref = ref_eng.reconstruct(images, K)
+        out = q_eng.reconstruct(images, K)
+        assert np.isfinite(np.asarray(out.gaussians.means)).all()
+        # quantization error through a deep net: loose but meaningful bound
+        m_ref = np.asarray(ref.gaussians.means).ravel()
+        m_q = np.asarray(out.gaussians.means).ravel()
+        corr = np.corrcoef(m_ref, m_q)[0, 1]
+        assert corr > 0.95, corr

@@ -54,6 +54,10 @@ def linear_init(key, d_in, d_out, bias=True, zero=False):
 
 
 def linear(p, x, dtype=None):
+    if "w_q" in p:  # int8-prepared weights (ops/quant.quantize_tree)
+        from ..ops.quant import linear_w8a8
+
+        return linear_w8a8(p, x, dtype=dtype)
     w = p["w"]
     if dtype is not None:
         w = w.astype(dtype)

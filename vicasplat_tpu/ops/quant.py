@@ -1,0 +1,101 @@
+"""Int8 weight + dynamic activation quantization (W8A8) for serving.
+
+TPU-native rationale: the v5e MXU runs int8 matmuls at 2x the bf16 peak
+(394 vs 197 TOPS), and int8-resident weights halve weight HBM traffic
+versus bf16. Quantization is symmetric: weights per-output-channel at
+prepare time, activations per-token at run time (dynamic, no calibration
+data needed). The int32 accumulator is rescaled by the product of the two
+scales, so `linear()` consumers see float outputs of the usual dtype.
+
+Opt-in and experimental: accuracy on a given checkpoint must be validated
+(serving.InferenceEngine(quantize=True) + the relative-error test in
+tests/test_quant.py). The torch reference has no quantized path; this is
+a beyond-reference serving optimization.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_linear(p: dict) -> dict:
+    """{"w" (d_in, d_out), "b"?} -> {"w_q" int8, "w_s" f32 (d_out,), "b"?}.
+
+    Per-output-channel symmetric: column j stored as round(w[:, j] / s_j),
+    s_j = max|w[:, j]| / 127.
+    """
+    w = jnp.asarray(p["w"], jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 127.0, 1e-8)
+    w_q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    out = {"w_q": w_q, "w_s": s}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def linear_w8a8(p: dict, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """Quantized drop-in for layers.linear on a quantize_linear'd param dict.
+
+    Dynamic per-token activation quant -> int8 x int8 matmul with an int32
+    accumulator (MXU-native) -> rescale by (token scale) x (channel scale).
+    """
+    out_dtype = dtype or (x.dtype if jnp.issubdtype(x.dtype, jnp.floating)
+                          else jnp.float32)
+    xf = jnp.asarray(x, jnp.float32)
+    ax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0,
+                     1e-8)
+    x_q = jnp.clip(jnp.round(xf / ax), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q, p["w_q"],
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * ax * p["w_s"]
+    if "b" in p:
+        y = y + jnp.asarray(p["b"], jnp.float32)
+    return y.astype(out_dtype)
+
+
+def quantize_tree(params, min_size: int = 1 << 14):
+    """Quantize every linear-shaped {"w": 2-D} dict in a params pytree whose
+    kernel has at least `min_size` elements (small layers — heads, embeds of
+    tiny models — stay float: their matmuls are latency-, not FLOP-bound,
+    and they contribute most of the quantization error budget).
+
+    Returns (new_params, n_quantized).
+    """
+    n = 0
+
+    def walk(node):
+        nonlocal n
+        if isinstance(node, dict):
+            if ("w" in node and getattr(node["w"], "ndim", 0) == 2
+                    and node["w"].size >= min_size
+                    and set(node) <= {"w", "b"}):
+                n += 1
+                return quantize_linear(node)
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(params), n
+
+
+def cast_tree_preserving_quant(params, dtype):
+    """Cast float leaves to `dtype`, except inside quantized linears: w_q
+    stays int8 and w_s stays f32 (the dequant rescale is the accuracy-
+    critical multiply; bf16 scales would add ~0.4% relative error)."""
+    def walk(node):
+        if isinstance(node, dict):
+            if "w_q" in node:
+                out = dict(node)
+                if "b" in out:
+                    out["b"] = jnp.asarray(out["b"], dtype)
+                return out
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return jnp.asarray(node, dtype)
+
+    return walk(params)

@@ -49,11 +49,16 @@ class InferenceEngine:
     def __init__(self, cfg: VicaSplatConfig, params=None, ckpt: str = None,
                  dtype=jnp.bfloat16,
                  decoder: DecoderSplattingConfig = DecoderSplattingConfig(),
-                 view_mesh=None):
+                 view_mesh=None, quantize: bool = False):
         """view_mesh: optional jax.sharding.Mesh — trajectory renders then
         shard the view axis over it (parallel/view_parallel.py); one
         reconstructed scene's Gaussians replicate over ICI and each device
-        renders its slice of the requested views."""
+        renders its slice of the requested views.
+
+        quantize=True prepares int8 weights for every large linear (W8A8,
+        ops/quant.py): 2x MXU peak + half the weight HBM traffic, at an
+        accuracy cost that must be validated per checkpoint (experimental).
+        """
         self.cfg = cfg
         self.dec_cfg = decoder
         self.dtype = dtype
@@ -66,8 +71,17 @@ class InferenceEngine:
                     ckpt, template=init_vicasplat(jax.random.PRNGKey(0), cfg))
             else:
                 params = init_vicasplat(jax.random.PRNGKey(0), cfg)
-        # bf16-resident weights: the TPU analogue of serving in TF32/fp16
-        self.params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        from .ops.quant import cast_tree_preserving_quant, quantize_tree
+
+        self.n_quantized = 0
+        if quantize:
+            # quantize from the f32 masters (quantize=True -> default
+            # min-size threshold; an int is a custom threshold)
+            kw = {} if quantize is True else {"min_size": int(quantize)}
+            params, self.n_quantized = quantize_tree(params, **kw)
+        # bf16-resident weights: the TPU analogue of serving in TF32/fp16;
+        # int8 kernels + their f32 channel scales keep their dtypes
+        self.params = cast_tree_preserving_quant(params, dtype)
 
     # ---- jitted programs, cached per input shape ----
 

@@ -51,6 +51,12 @@ def main():
     ap.add_argument("--fov", type=float, default=60.0, help="assumed FoV (deg)")
     ap.add_argument("--steps_per_segment", type=int, default=8)
     ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--window", type=int, default=8,
+                    help="clip length per model pass; longer videos stream "
+                         "through sliding windows (streaming.py)")
+    ap.add_argument("--overlap", type=int, default=2,
+                    help="shared frames between consecutive windows "
+                         "(>=2 recommended so window scale is observable)")
     args = ap.parse_args()
 
     import jax
@@ -93,16 +99,34 @@ def main():
     fov = np.radians(args.fov)
     f = 0.5 / np.tan(fov / 2)
     K = np.array([[f, 0, 0.5], [0, f, 0.5], [0, 0, 1.0]], np.float32)
-    batch = {
-        "image": jnp.asarray(images)[None] * 2.0 - 1.0,
-        "intrinsics": jnp.broadcast_to(jnp.asarray(K), (1, T, 3, 3)),
-    }
 
     t0 = time.perf_counter()
-    out = jax.jit(
-        lambda p, b: vicasplat_forward(p, cfg, b, dtype=jnp.bfloat16)
-    )(params, batch)
-    poses = jax.device_get(out["gaussian_camera_extrins"])[0]
+    if T > args.window:
+        # long video: sliding-window streaming with scale-aligned pose
+        # chaining (streaming.py) — each window reuses one compiled program
+        from vicasplat_tpu.serving import InferenceEngine
+        from vicasplat_tpu.streaming import reconstruct_video
+
+        eng = InferenceEngine(cfg, params=params, dtype=jnp.bfloat16)
+        scene = reconstruct_video(
+            eng, images, np.broadcast_to(K, (T, 3, 3)),
+            window=args.window, overlap=args.overlap)
+        g_stream = jax.tree.map(lambda x: x[None], scene.gaussians)
+        out = {"gaussians": g_stream,
+               "gaussian_centers": g_stream.means}
+        poses = scene.poses.astype(np.float32)
+        print(f"streamed {len(scene.window_scales)} windows "
+              f"(window {args.window}, overlap {args.overlap}); "
+              f"scales {np.round(scene.window_scales, 3).tolist()}")
+    else:
+        batch = {
+            "image": jnp.asarray(images)[None] * 2.0 - 1.0,
+            "intrinsics": jnp.broadcast_to(jnp.asarray(K), (1, T, 3, 3)),
+        }
+        out = jax.jit(
+            lambda p, b: vicasplat_forward(p, cfg, b, dtype=jnp.bfloat16)
+        )(params, batch)
+        poses = jax.device_get(out["gaussian_camera_extrins"])[0]
     print(f"inference: {time.perf_counter() - t0:.2f}s "
           f"(includes compile on first run)")
 
@@ -139,7 +163,7 @@ def main():
     write_glb(
         out_dir / "xyz_and_camera.glb",
         np.asarray(out["gaussian_centers"]).reshape(-1, 3),
-        np.asarray(batch["image"]).reshape(-1, 3) * 0.5 + 0.5,
+        images.reshape(-1, 3),
         camera_poses=poses,
         focal=float(K[0, 0]),
         cam_size=0.05,

@@ -64,6 +64,22 @@ class TestExport:
         np.testing.assert_allclose(
             np.asarray(out["color"]), np.asarray(live.color), atol=1e-6)
 
+    def test_quantized_engine_exports(self, tmp_path):
+        # int8 dot_generals serialize like any other StableHLO op; the
+        # artifact carries the quantized calling convention transparently
+        cfg = tiny_cfg()
+        eng = InferenceEngine(cfg, dtype=jnp.float32, quantize=1)
+        assert eng.n_quantized > 0
+        images, K = _inputs()
+        blob = export_reconstruct(eng, 1, 3, 32, 32, with_intrinsics=True)
+        p = tmp_path / "q.shlo"
+        save_exported(p, blob)
+        live = eng.reconstruct(images, K)
+        out = load_exported(p).call(eng.params, images, K)
+        np.testing.assert_array_equal(
+            np.asarray(out["gaussians"]["means"]),
+            np.asarray(live.gaussians.means))
+
     def test_artifact_is_self_contained(self, tmp_path):
         # deserialization must not need the engine: only the params pytree
         cfg = tiny_cfg()

@@ -94,3 +94,40 @@ class TestRealScene:
         np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
         # non-identity-collapsed: the perturbed head must move frames 1..7
         assert np.abs(poses[1:] - np.eye(4)).max() > 1e-3
+
+
+class TestRealSceneStreaming:
+    def test_streamed_long_video(self, real_frames):
+        """The 8 real frames streamed as 5-frame windows with 2-frame
+        overlap: the seam math must produce valid rigid global poses and
+        one Gaussian layer per frame (demo.py --window path)."""
+        import dataclasses
+
+        from tests.test_model import tiny_cfg
+        from vicasplat_tpu.serving import InferenceEngine
+        from vicasplat_tpu.streaming import reconstruct_video
+
+        cfg = tiny_cfg(T=5)
+        cfg = dataclasses.replace(
+            cfg, backbone=dataclasses.replace(cfg.backbone, img_size=64)
+        )
+        eng = InferenceEngine(cfg, dtype=jnp.float32)
+        # perturb the zero-init camera head so window poses are non-trivial
+        eng.params["camera_extrinsic_head"] = jax.tree.map(
+            lambda p: jax.random.normal(jax.random.PRNGKey(1), p.shape,
+                                        p.dtype) * 0.1,
+            eng.params["camera_extrinsic_head"],
+        )
+        f = 0.5 / np.tan(np.radians(60.0) / 2)
+        K = np.broadcast_to(
+            np.array([[f, 0, 0.5], [0, f, 0.5], [0, 0, 1.0]]), (8, 3, 3))
+        scene = reconstruct_video(eng, real_frames, K, window=5, overlap=2)
+        assert scene.poses.shape == (8, 4, 4)
+        np.testing.assert_allclose(scene.poses[0], np.eye(4), atol=1e-6)
+        R = scene.poses[:, :3, :3]
+        np.testing.assert_allclose(
+            R @ np.swapaxes(R, -1, -2),
+            np.broadcast_to(np.eye(3), R.shape), atol=1e-4)
+        assert scene.gaussians.means.shape[0] == 8
+        assert np.isfinite(np.asarray(scene.gaussians.means)).all()
+        assert (scene.window_scales > 0).all()

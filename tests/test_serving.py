@@ -66,6 +66,38 @@ class TestHTTP:
             srv.shutdown()
             srv.server_close()
 
+    def test_reconstruct_video_endpoint(self):
+        """Long-video route: (F, H, W, 3) frames streamed through sliding
+        windows server-side; response carries global poses + window scales."""
+        import json
+
+        cfg = tiny_cfg()
+        eng = InferenceEngine(cfg, dtype=jnp.float32)
+        srv = serve(eng, port=18746, block=False)
+        try:
+            F = 5
+            frames = np.asarray(
+                jax.random.uniform(jax.random.PRNGKey(3), (F, 32, 32, 3)),
+                np.float32)
+            K = np.broadcast_to(
+                np.array([[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]],
+                         np.float32), (F, 3, 3))
+            buf = io.BytesIO()
+            np.savez(buf, images=frames, intrinsics=K,
+                     window=np.int64(3), overlap=np.int64(1))
+            req = urllib.request.Request(
+                "http://127.0.0.1:18746/reconstruct_video",
+                data=buf.getvalue(), method="POST")
+            body = json.loads(urllib.request.urlopen(req, timeout=120).read())
+            assert len(body["poses"]) == F
+            np.testing.assert_allclose(
+                np.asarray(body["poses"][0]), np.eye(4), atol=1e-6)
+            assert body["num_gaussians"] == F * 32 * 32
+            assert len(body["window_scales"]) == 2
+        finally:
+            srv.shutdown()
+            srv.server_close()
+
     def test_reconstruct_endpoint_jpeg(self):
         """Compressed request: concatenated JPEG frames + sizes + (B, T)."""
         import json

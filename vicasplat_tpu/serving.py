@@ -212,6 +212,37 @@ def make_handler(engine: InferenceEngine):
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def do_POST(self):
+            if self.path == "/reconstruct_video":
+                # long-video request: (F, H, W, 3) frames streamed through
+                # sliding windows (streaming.reconstruct_video)
+                from .streaming import reconstruct_video
+
+                length = int(self.headers["Content-Length"])
+                payload = np.load(io.BytesIO(self.rfile.read(length)),
+                                  allow_pickle=False)
+                intr = (payload["intrinsics"] if "intrinsics" in payload
+                        else None)
+                t0 = time.perf_counter()
+                scene = reconstruct_video(
+                    engine, payload["images"], intr,
+                    window=int(payload["window"]) if "window" in payload
+                    else 8,
+                    overlap=int(payload["overlap"]) if "overlap" in payload
+                    else 2)
+                means = np.asarray(jax.device_get(scene.gaussians.means))
+                resp = {
+                    "poses": scene.poses.tolist(),
+                    "window_scales": scene.window_scales.tolist(),
+                    "num_gaussians": int(np.prod(means.shape[:-1])),
+                    "latency_s": time.perf_counter() - t0,
+                }
+                body = json.dumps(resp).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if self.path != "/reconstruct":
                 self.send_response(404)
                 self.end_headers()

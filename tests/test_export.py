@@ -68,7 +68,7 @@ class TestExport:
         # int8 dot_generals serialize like any other StableHLO op; the
         # artifact carries the quantized calling convention transparently
         cfg = tiny_cfg()
-        eng = InferenceEngine(cfg, dtype=jnp.float32, quantize=1)
+        eng = InferenceEngine(cfg, dtype=jnp.float32, quantize=True, quantize_min_size=1)
         assert eng.n_quantized > 0
         images, K = _inputs()
         blob = export_reconstruct(eng, 1, 3, 32, 32, with_intrinsics=True)

@@ -45,6 +45,27 @@ class TestQuantOps:
         assert out["conv"]["w"].shape == (3, 3, 8, 8)
         assert out["nested"]["inner"]["w_s"].shape == (128,)
 
+    def test_stacked_block_kernels_quantize(self):
+        """3-D (L, d_in, d_out) stacked-block kernels — the model's dominant
+        matmuls, sliced per layer by lax.scan — must quantize, and each
+        sliced layer must equal quantizing that layer alone."""
+        w = jax.random.normal(jax.random.PRNGKey(0), (4, 128, 256))
+        b = jax.random.normal(jax.random.PRNGKey(1), (4, 256))
+        out, n = quantize_tree({"blocks": {"w": w, "b": b}}, min_size=1 << 14)
+        assert n == 1
+        assert out["blocks"]["w_q"].shape == (4, 128, 256)
+        assert out["blocks"]["w_s"].shape == (4, 256)
+        layer2 = jax.tree.map(lambda x: x[2], out["blocks"])
+        alone = quantize_linear({"w": w[2], "b": b[2]})
+        np.testing.assert_array_equal(np.asarray(layer2["w_q"]),
+                                      np.asarray(alone["w_q"]))
+        np.testing.assert_allclose(np.asarray(layer2["w_s"]),
+                                   np.asarray(alone["w_s"]))
+        # 4-D conv kernels stay untouched (consumed via p["w"] directly)
+        out2, n2 = quantize_tree({"conv": {"w": jnp.ones((7, 7, 64, 64))}},
+                                 min_size=1)
+        assert n2 == 0 and "w" in out2["conv"]
+
     def test_cast_preserves_quant_dtypes(self):
         tree, _ = quantize_tree(
             {"l": linear_init(jax.random.PRNGKey(0), 128, 256)}, min_size=1)
@@ -63,7 +84,7 @@ class TestQuantizedEngine:
             (1, 3, 3, 3))
         ref_eng = InferenceEngine(cfg, dtype=jnp.float32)
         q_eng = InferenceEngine(cfg, params=jax.device_get(ref_eng.params),
-                                dtype=jnp.float32, quantize=1)
+                                dtype=jnp.float32, quantize=True, quantize_min_size=1)
         assert q_eng.n_quantized > 0
         ref = ref_eng.reconstruct(images, K)
         out = q_eng.reconstruct(images, K)

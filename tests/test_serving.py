@@ -1,6 +1,9 @@
 """Serving engine: shape-cached jitted reconstruction, render, HTTP endpoint."""
 import io
+import urllib.error
 import urllib.request
+
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -94,6 +97,29 @@ class TestHTTP:
                 np.asarray(body["poses"][0]), np.eye(4), atol=1e-6)
             assert body["num_gaussians"] == F * 32 * 32
             assert len(body["window_scales"]) == 2
+        finally:
+            srv.shutdown()
+            srv.server_close()
+
+    def test_reconstruct_video_bad_request_is_400(self):
+        """Fewer frames than the window must yield a JSON 400, not a dead
+        handler thread and a dropped connection."""
+        import json
+
+        cfg = tiny_cfg()
+        eng = InferenceEngine(cfg, dtype=jnp.float32)
+        srv = serve(eng, port=18747, block=False)
+        try:
+            frames = np.zeros((3, 32, 32, 3), np.float32)  # < window=8
+            buf = io.BytesIO()
+            np.savez(buf, images=frames)
+            req = urllib.request.Request(
+                "http://127.0.0.1:18747/reconstruct_video",
+                data=buf.getvalue(), method="POST")
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=60)
+            assert ei.value.code == 400
+            assert "need >=" in json.loads(ei.value.read())["error"]
         finally:
             srv.shutdown()
             srv.server_close()

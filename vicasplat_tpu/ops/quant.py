@@ -19,14 +19,17 @@ import jax.numpy as jnp
 
 
 def quantize_linear(p: dict) -> dict:
-    """{"w" (d_in, d_out), "b"?} -> {"w_q" int8, "w_s" f32 (d_out,), "b"?}.
+    """{"w" (..., d_in, d_out), "b"?} -> {"w_q" int8, "w_s" f32 (..., d_out),
+    "b"?}.
 
-    Per-output-channel symmetric: column j stored as round(w[:, j] / s_j),
-    s_j = max|w[:, j]| / 127.
+    Per-output-channel symmetric over the contraction (second-to-last) dim:
+    column j stored as round(w[..., :, j] / s_j), s_j = max|w[..., :, j]|/127.
+    Leading dims (e.g. the stacked-blocks L axis that lax.scan slices per
+    layer) pass through, so scanned block params quantize like flat ones.
     """
     w = jnp.asarray(p["w"], jnp.float32)
-    s = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 127.0, 1e-8)
-    w_q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=-2) / 127.0, 1e-8)
+    w_q = jnp.clip(jnp.round(w / s[..., None, :]), -127, 127).astype(jnp.int8)
     out = {"w_q": w_q, "w_s": s}
     if "b" in p:
         out["b"] = p["b"]
@@ -57,10 +60,17 @@ def linear_w8a8(p: dict, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
 
 
 def quantize_tree(params, min_size: int = 1 << 14):
-    """Quantize every linear-shaped {"w": 2-D} dict in a params pytree whose
-    kernel has at least `min_size` elements (small layers — heads, embeds of
-    tiny models — stay float: their matmuls are latency-, not FLOP-bound,
-    and they contribute most of the quantization error budget).
+    """Quantize every linear-shaped {"w"} dict in a params pytree whose
+    per-layer kernel (product of the last two dims) has at least `min_size`
+    elements (small layers — heads, embeds of tiny models — stay float:
+    their matmuls are latency-, not FLOP-bound, and they contribute most of
+    the quantization error budget).
+
+    Eligible kernels are 2-D (d_in, d_out) flat linears or 3-D
+    (L, d_in, d_out) stacked-block linears (the lax.scan slices them to 2-D
+    per layer — these ARE the model's dominant matmuls). 4-D conv kernels
+    (patch embed, DPT heads) are consumed by conv code that reads "w"
+    directly and stay untouched.
 
     Returns (new_params, n_quantized).
     """
@@ -69,8 +79,9 @@ def quantize_tree(params, min_size: int = 1 << 14):
     def walk(node):
         nonlocal n
         if isinstance(node, dict):
-            if ("w" in node and getattr(node["w"], "ndim", 0) == 2
-                    and node["w"].size >= min_size
+            w = node.get("w")
+            if (w is not None and getattr(w, "ndim", 0) in (2, 3)
+                    and w.shape[-1] * w.shape[-2] >= min_size
                     and set(node) <= {"w", "b"}):
                 n += 1
                 return quantize_linear(node)

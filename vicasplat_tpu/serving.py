@@ -49,7 +49,8 @@ class InferenceEngine:
     def __init__(self, cfg: VicaSplatConfig, params=None, ckpt: str = None,
                  dtype=jnp.bfloat16,
                  decoder: DecoderSplattingConfig = DecoderSplattingConfig(),
-                 view_mesh=None, quantize: bool = False):
+                 view_mesh=None, quantize: bool = False,
+                 quantize_min_size: Optional[int] = None):
         """view_mesh: optional jax.sharding.Mesh — trajectory renders then
         shard the view axis over it (parallel/view_parallel.py); one
         reconstructed scene's Gaussians replicate over ICI and each device
@@ -75,9 +76,10 @@ class InferenceEngine:
 
         self.n_quantized = 0
         if quantize:
-            # quantize from the f32 masters (quantize=True -> default
-            # min-size threshold; an int is a custom threshold)
-            kw = {} if quantize is True else {"min_size": int(quantize)}
+            # quantize from the f32 masters; quantize_min_size overrides the
+            # default per-layer kernel-size threshold
+            kw = ({} if quantize_min_size is None
+                  else {"min_size": quantize_min_size})
             params, self.n_quantized = quantize_tree(params, **kw)
         # bf16-resident weights: the TPU analogue of serving in TF32/fp16;
         # int8 kernels + their f32 channel scales keep their dtypes
@@ -211,15 +213,36 @@ def make_handler(engine: InferenceEngine):
     import http.server
 
     class Handler(http.server.BaseHTTPRequestHandler):
+        def _read_payload(self):
+            length = int(self.headers["Content-Length"])
+            return np.load(io.BytesIO(self.rfile.read(length)),
+                           allow_pickle=False)
+
+        def _send_json(self, resp: dict, status: int = 200):
+            body = json.dumps(resp).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_POST(self):
+            try:
+                self._do_POST()
+            except (ValueError, KeyError) as e:
+                # bad request (missing field, frames < window, ...) -> 400
+                # with the message, instead of a dead handler thread and a
+                # dropped connection
+                self._send_json({"error": f"{type(e).__name__}: {e}"},
+                                status=400)
+
+        def _do_POST(self):
             if self.path == "/reconstruct_video":
                 # long-video request: (F, H, W, 3) frames streamed through
                 # sliding windows (streaming.reconstruct_video)
                 from .streaming import reconstruct_video
 
-                length = int(self.headers["Content-Length"])
-                payload = np.load(io.BytesIO(self.rfile.read(length)),
-                                  allow_pickle=False)
+                payload = self._read_payload()
                 intr = (payload["intrinsics"] if "intrinsics" in payload
                         else None)
                 t0 = time.perf_counter()
@@ -230,26 +253,18 @@ def make_handler(engine: InferenceEngine):
                     overlap=int(payload["overlap"]) if "overlap" in payload
                     else 2)
                 means = np.asarray(jax.device_get(scene.gaussians.means))
-                resp = {
+                self._send_json({
                     "poses": scene.poses.tolist(),
                     "window_scales": scene.window_scales.tolist(),
                     "num_gaussians": int(np.prod(means.shape[:-1])),
                     "latency_s": time.perf_counter() - t0,
-                }
-                body = json.dumps(resp).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                })
                 return
             if self.path != "/reconstruct":
                 self.send_response(404)
                 self.end_headers()
                 return
-            length = int(self.headers["Content-Length"])
-            payload = np.load(io.BytesIO(self.rfile.read(length)),
-                              allow_pickle=False)
+            payload = self._read_payload()
             if "jpeg_data" in payload:
                 # compressed request (~20x smaller than raw f32): frames as
                 # one concatenated JPEG byte stream + per-frame sizes +
@@ -275,18 +290,12 @@ def make_handler(engine: InferenceEngine):
             poses = np.asarray(jax.device_get(scene.poses))
             means = np.asarray(jax.device_get(scene.gaussians.means))
             dt = time.perf_counter() - t0
-            resp = {
+            self._send_json({
                 "poses": poses.tolist(),
                 "num_gaussians": int(np.prod(means.shape[:-1])),
                 "centers_mean": np.mean(means, axis=(1, 2, 3)).tolist(),
                 "latency_s": dt,
-            }
-            body = json.dumps(resp).encode()
-            self.send_response(200)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            })
 
         def log_message(self, *a):
             pass

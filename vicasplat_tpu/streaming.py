@@ -154,6 +154,14 @@ def reconstruct_video(engine, images01, intrinsics=None, window: int = 8,
     images01 = np.asarray(images01)
     F = images01.shape[0]
     starts = plan_windows(F, window, overlap)
+    if overlap < 2 and len(starts) > 1:
+        import warnings
+
+        warnings.warn(
+            "overlap=1 leaves zero shared relative translations, so "
+            "per-window monocular scale cannot be aligned (scale factors "
+            "stay 1.0 and the global metric may drift between windows); "
+            "use overlap >= 2", stacklevel=2)
     sh_degree = engine.cfg.gaussian_adapter.sh_degree
 
     window_poses, window_scenes, window_intr = [], [], []

@@ -153,7 +153,13 @@ def restore_train_state(path, params_template, opt_state_template,
     try:
         payload = ckptr.restore(path.absolute(), template)
         return payload["params"], payload["opt_state"], int(payload["extra"]["step"])
-    except BaseException:
+    except Exception as e:
+        # weights-only checkpoints land here by design; anything else (a bad
+        # sharding rule, orbax layout mismatch) must not silently restart
+        # the schedule at step 0 without saying why
+        print(f"WARNING: full-state restore of {path} failed "
+              f"({type(e).__name__}: {e}); falling back to weights-only "
+              f"restore, optimizer state and step reset", flush=True)
         params = load_weights(str(path), template=params_template)
         return params, opt_state_template, 0
 

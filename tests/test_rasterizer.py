@@ -482,6 +482,71 @@ class TestDecoderCovFallback:
         np.testing.assert_allclose(b.color, a.color, atol=2e-3)
 
 
+class TestPruning:
+    def test_pruning_transparent_splats_is_exact(self):
+        """prune_fraction that removes only fully transparent splats must
+        not change the image at all (the rasterizer re-sorts by depth, so
+        survivor order is irrelevant)."""
+        from vicasplat_tpu.decoder.splatting import (
+            DecoderSplattingConfig, decoder_forward, prune_gaussians,
+        )
+        from vicasplat_tpu.models.adapter import Gaussians
+
+        key = jax.random.PRNGKey(11)
+        ks = jax.random.split(key, 4)
+        n_vis, n_clear = 24, 8
+        n = n_vis + n_clear
+        means = jax.random.normal(ks[0], (1, n, 3)) * 0.3
+        means = means.at[..., 2].add(2.0)
+        scales = jax.random.uniform(ks[1], (1, n, 3), minval=0.02, maxval=0.08)
+        q = jax.random.normal(ks[2], (1, n, 4))
+        rotations = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+        covs = jax.vmap(build_covariance)(scales, rotations)
+        sh = jax.random.uniform(ks[3], (1, n, 3, 1))
+        opac = jnp.concatenate(
+            [jnp.full((1, n_vis), 0.8), jnp.zeros((1, n_clear))], axis=1)
+        ext = jnp.eye(4)[None, None]
+        K = CAM["intrinsics"][None]
+        near, far = jnp.ones((1, 1)), jnp.full((1, 1), 100.0)
+        ras = RasterizeConfig(tile_px=8, dup_hw=(4, 4), max_per_tile=64,
+                              chunk=32, tile_group=4)
+        g = Gaussians(means, covs, sh, opac, scales, rotations)
+
+        ref = decoder_forward(
+            DecoderSplattingConfig(rasterize=ras), g, ext, K, near, far,
+            (32, 32))
+        pruned = decoder_forward(
+            DecoderSplattingConfig(rasterize=ras,
+                                   prune_fraction=n_clear / n),
+            g, ext, K, near, far, (32, 32))
+        np.testing.assert_allclose(
+            np.asarray(pruned.color), np.asarray(ref.color), atol=1e-6)
+
+        # the prune itself keeps exactly the visible splats
+        gp = prune_gaussians(g, n_clear / n)
+        assert gp.opacities.shape == (1, n_vis)
+        assert float(gp.opacities.min()) > 0.0
+        for leaf, orig in ((gp.means, 3), (gp.scales, 3), (gp.rotations, 4)):
+            assert leaf.shape == (1, n_vis, orig)
+
+    def test_lane_alignment_at_scale(self):
+        """Above 256 splats keep-count snaps to a 128 multiple (TPU lane
+        width)."""
+        from vicasplat_tpu.decoder.splatting import prune_gaussians
+        from vicasplat_tpu.models.adapter import Gaussians
+
+        n = 1000
+        g = Gaussians(
+            means=jnp.zeros((1, n, 3)), covariances=jnp.zeros((1, n, 3, 3)),
+            harmonics=jnp.zeros((1, n, 3, 1)),
+            opacities=jnp.linspace(0, 1, n)[None],
+            scales=jnp.ones((1, n, 3)), rotations=jnp.ones((1, n, 4)))
+        gp = prune_gaussians(g, 0.5)
+        assert gp.opacities.shape[1] % 128 == 0
+        # survivors are the highest-opacity ones
+        assert float(gp.opacities.min()) >= 0.49
+
+
 class TestWildInputRobustness:
     """Culled splats must not poison the image, whatever their math does.
 

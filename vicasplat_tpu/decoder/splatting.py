@@ -23,6 +23,13 @@ class DecoderSplattingConfig:
     background_color: tuple = (0.0, 0.0, 0.0)
     make_scale_invariant: bool = False
     rasterize: RasterizeConfig = RasterizeConfig()
+    # serving-time splat pruning: drop this fraction of lowest-opacity
+    # Gaussians (one static top_k) before the per-view pipeline. The render
+    # is sort-bound (DESIGN.md §7), and sort/bin/composite all scale with N,
+    # so pruning trades fidelity for throughput across ALL views at once.
+    # Exact when the dropped splats are fully transparent; opt-in otherwise
+    # (0.0 = off, the parity default).
+    prune_fraction: float = 0.0
 
 
 class DecoderOutput(NamedTuple):
@@ -47,6 +54,35 @@ def flatten_gaussians(g: Gaussians) -> Gaussians:
     )
 
 
+def prune_gaussians(g: Gaussians, fraction: float) -> Gaussians:
+    """Keep the top (1-fraction) of splats by opacity, per batch element.
+
+    One `lax.top_k` over (B, N) picks survivors; every field is gathered
+    with the same static-K index set, so all downstream shapes stay static
+    (the XLA requirement) and every per-view sort/bin/composite shrinks.
+    The survivors keep top_k's opacity order — irrelevant downstream, the
+    rasterizer re-sorts by depth keys.
+    """
+    N = g.opacities.shape[1]
+    keep = max(1, int(round(N * (1.0 - fraction))))
+    if N >= 256:  # keep the lane dimension aligned when there is room
+        keep = max(128, (keep // 128) * 128)
+    _, idx = jax.lax.top_k(g.opacities, keep)  # (B, keep)
+
+    def take(x):
+        if x is None:
+            return None
+        ix = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+        return jnp.take_along_axis(x, ix, axis=1)
+
+    return Gaussians(
+        means=take(g.means), covariances=take(g.covariances),
+        harmonics=take(g.harmonics),
+        opacities=jnp.take_along_axis(g.opacities, idx, axis=1),
+        scales=take(g.scales), rotations=take(g.rotations),
+    )
+
+
 def decoder_forward(
     cfg: DecoderSplattingConfig,
     gaussians: Gaussians,
@@ -61,6 +97,8 @@ def decoder_forward(
 ) -> DecoderOutput:
     if gaussians.means.ndim > 3:
         gaussians = flatten_gaussians(gaussians)
+    if cfg.prune_fraction > 0.0:
+        gaussians = prune_gaussians(gaussians, cfg.prune_fraction)
     if sh_degree is None:
         sh_degree = int(round(gaussians.harmonics.shape[-1] ** 0.5)) - 1
     bg = tuple(float(c) for c in cfg.background_color)  # static for pallas

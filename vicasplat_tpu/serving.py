@@ -331,10 +331,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--port", type=int, default=8644)
+    ap.add_argument("--quantize", action="store_true",
+                    help="int8 W8A8 for the big linears (experimental; "
+                         "validate accuracy per checkpoint)")
+    ap.add_argument("--prune", type=float, default=0.0,
+                    help="drop this fraction of lowest-opacity splats "
+                         "before rendering (serving-throughput knob)")
     args = ap.parse_args()
     cfg = VicaSplatConfig(backbone=VicaNetConfig(),
                           gaussian_adapter=GaussianAdapterConfig(sh_degree=4))
-    serve(InferenceEngine(cfg, ckpt=args.ckpt), port=args.port)
+    dec = DecoderSplattingConfig(prune_fraction=args.prune)
+    serve(InferenceEngine(cfg, ckpt=args.ckpt, quantize=args.quantize,
+                          decoder=dec), port=args.port)
 
 
 if __name__ == "__main__":

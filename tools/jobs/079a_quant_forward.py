@@ -67,4 +67,4 @@ print(f"means corr {corr:.4f} rel_err {rel:.4f}", flush=True)
 out = pathlib.Path("/root/repo/outputs/perf_decomposition/quant_forward.json")
 out.parent.mkdir(parents=True, exist_ok=True)
 out.write_text(json.dumps(results, indent=1))
-print("job 086_quant_forward.py: ok", flush=True)
+print("job 079a_quant_forward.py: ok", flush=True)

@@ -56,4 +56,4 @@ for frac in (0.0, 0.25, 0.5):
 out = pathlib.Path("/root/repo/outputs/perf_decomposition/prune_render.json")
 out.parent.mkdir(parents=True, exist_ok=True)
 out.write_text(json.dumps(results, indent=1))
-print("job 086b_prune_render.py: ok", flush=True)
+print("job 079b_prune_render.py: ok", flush=True)

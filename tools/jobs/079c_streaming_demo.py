@@ -32,5 +32,5 @@ spec.loader.exec_module(mod)
 mod.main()
 out = pathlib.Path("/root/repo/outputs/real_scene_demo/streamed")
 print("artifacts:", sorted(p.name for p in out.iterdir()), flush=True)
-print(f"job 087b_streaming_demo.py: ok in {time.perf_counter()-t0:.1f}s",
+print(f"job 079c_streaming_demo.py: ok in {time.perf_counter()-t0:.1f}s",
       flush=True)

@@ -171,3 +171,45 @@ class TestMomentDtype:
             np.asarray(outs["float32"]), np.asarray(outs["bfloat16"]),
             atol=2e-5,
         )
+
+
+class TestGradAccumulation:
+    def test_accumulated_step_matches_full_batch(self):
+        """accumulate_steps=2 over a B=4 batch must produce the same update
+        as the plain step on the full batch: the loss is a batch mean, so
+        mean-of-microbatch-grads == full-batch grads (up to f32 summation
+        order). Keys are folded per microbatch, so losses with stochastic
+        branches would diverge by design — the tiny full-phase config has
+        none."""
+        import dataclasses
+
+        cfg = tiny_train_cfg()
+        params = init_vicasplat(jax.random.PRNGKey(0), cfg.model)
+        optimizer = make_optimizer(params, cfg.optimizer)
+        batch = tiny_batch(jax.random.PRNGKey(1), B=4)
+
+        step_ref = jax.jit(make_train_step(cfg, optimizer))
+        cfg_acc = dataclasses.replace(cfg, accumulate_steps=2)
+        step_acc = jax.jit(make_train_step(cfg_acc, optimizer))
+
+        s0 = optimizer.init(params)
+        p_ref, _, logs_ref = step_ref(params, s0, batch, 0)
+        s0b = optimizer.init(params)
+        p_acc, _, logs_acc = step_acc(params, s0b, batch, 0)
+
+        np.testing.assert_allclose(
+            float(logs_acc["loss"]), float(logs_ref["loss"]), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_acc)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-6)
+
+    def test_indivisible_batch_raises(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(tiny_train_cfg(), accumulate_steps=3)
+        params = init_vicasplat(jax.random.PRNGKey(0), cfg.model)
+        optimizer = make_optimizer(params, cfg.optimizer)
+        step = jax.jit(make_train_step(cfg, optimizer))
+        batch = tiny_batch(jax.random.PRNGKey(1), B=4)
+        with pytest.raises(ValueError, match="not divisible"):
+            step(params, optimizer.init(params), batch, 0)

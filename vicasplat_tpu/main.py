@@ -43,6 +43,7 @@ def build_all(cfg):
         distill_weight=cfg.train.distill_weight,
         distill_only_steps=cfg.train.distill_only_steps,
         distill_max_steps=cfg.train.distill_max_steps,
+        accumulate_steps=cfg.train.accumulate_grad_batches,
     )
     if cfg.loss.lpips is not None:
         train_cfg = dataclasses.replace(train_cfg, lpips=cfg.loss.lpips)

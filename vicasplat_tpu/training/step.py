@@ -48,6 +48,12 @@ class TrainConfig:
     # after distill_max_steps.
     distill_only_steps: int = 0
     distill_max_steps: int = 0
+    # gradient accumulation (beyond the reference, which always has enough
+    # GPUs for its global batch): split the batch into this many microbatches
+    # inside one jitted step — a lax.scan computes and sums per-microbatch
+    # grads, then one optimizer update fires. Activation memory scales with
+    # the microbatch; a single chip can match any reference global batch.
+    accumulate_steps: int = 1
 
 
 def distillation_loss(out, teacher_fn, batch, key):
@@ -191,16 +197,59 @@ def make_train_step(cfg: TrainConfig, optimizer: optax.GradientTransformation,
                     data_axis: str = "data"):
     """mesh: pass the data-parallel jax.sharding.Mesh when the step will run
     sharded — the render is then shard_map'ed batch-local (see compute_loss)."""
-    def train_step(params, opt_state, batch, global_step, phase="full"):
-        key = jax.random.fold_in(jax.random.PRNGKey(0), global_step)
+    def grads_once(params, batch, global_step, key, phase):
         (loss, logs), grads = jax.value_and_grad(
             compute_loss, has_aux=True
         )(params, cfg, batch, global_step, lpips_fn, teacher_fn, key,
           phase, mesh, data_axis)
-        # NaN-grad guard (reference src/main.py:42-47 zeroes NaN grads)
+        # NaN-grad guard (reference src/main.py:42-47 zeroes NaN grads);
+        # per-microbatch so one bad microbatch can't poison the whole sum
         grads = jax.tree.map(
             lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)), grads
         )
+        return loss, logs, grads
+
+    def train_step(params, opt_state, batch, global_step, phase="full"):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), global_step)
+        A = cfg.accumulate_steps
+        if A <= 1:
+            loss, logs, grads = grads_once(params, batch, global_step, key,
+                                           phase)
+        else:
+            def to_micro(x):
+                if x.shape[0] % A:
+                    raise ValueError(
+                        f"batch dim {x.shape[0]} not divisible by "
+                        f"accumulate_steps={A}")
+                return x.reshape((A, x.shape[0] // A) + x.shape[1:])
+
+            micro = jax.tree.map(to_micro, batch)
+            mb0 = jax.tree.map(lambda x: x[0], micro)
+            _, logs_s, _ = jax.eval_shape(
+                lambda p, mb, gs, k: grads_once(p, mb, gs, k, phase),
+                params, mb0, global_step, key)
+            zeros = lambda t: jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), t)
+
+            def body(carry, xs):
+                g_acc, loss_acc, logs_acc = carry
+                mb, i = xs
+                loss, logs, g = grads_once(
+                    params, mb, global_step, jax.random.fold_in(key, i),
+                    phase)
+                return (jax.tree.map(jnp.add, g_acc, g), loss_acc + loss,
+                        jax.tree.map(jnp.add, logs_acc, logs)), None
+
+            (grads, loss, logs), _ = jax.lax.scan(
+                body,
+                (jax.tree.map(jnp.zeros_like, params), jnp.float32(0.0),
+                 zeros(logs_s)),
+                (micro, jnp.arange(A)),
+            )
+            inv = 1.0 / A
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            loss = loss * inv
+            logs = jax.tree.map(lambda v: v * inv, logs)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         logs["loss"] = loss

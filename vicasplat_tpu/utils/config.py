@@ -54,6 +54,9 @@ class TrainSectionConfig:
     distill_only_steps: int = 0
     distill_weight: float = 1.0
     gradient_checkpointing: bool = True
+    # microbatch the per-step batch this many times inside one jitted step
+    # (grad accumulation; Lightning's flag name for familiarity)
+    accumulate_grad_batches: int = 1
     lr_cosine_annealing: bool = False
     new_param_keywords: tuple = ("gaussian_param_head", "intrinsic_encoder")
     print_log_every_n_steps: int = 10

@@ -536,3 +536,47 @@ class TestPipelineParallel:
         for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
             np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                        atol=1e-5)
+
+
+class TestAccumulationOnMesh:
+    def test_sharded_accumulated_step_matches_unsharded(self):
+        """Grad accumulation composes with the DP mesh: the (A, B/A) reshape
+        of a device-sharded batch dim re-shards per microbatch, and the
+        shard_map'ed render needs each microbatch to still divide over the
+        mesh (B=4, A=2 -> micro 2 over a 2-device mesh; kept small for the
+        1-core CPU host)."""
+        import dataclasses
+
+        import optax
+
+        from tests.test_training import tiny_batch, tiny_train_cfg
+        from vicasplat_tpu.models import init_vicasplat
+        from vicasplat_tpu.training import make_train_step
+
+        cfg = dataclasses.replace(tiny_train_cfg(), accumulate_steps=2)
+        params = init_vicasplat(jax.random.PRNGKey(0), cfg.model)
+        # SGD, not Adam: post-step params then differ by exactly lr*d(grad),
+        # so the assertion bounds the GRAD mismatch instead of Adam's
+        # noise-amplified m/sqrt(v) of near-zero-variance elements
+        optimizer = optax.sgd(1e-3)
+        batch = tiny_batch(jax.random.PRNGKey(1), B=4)
+
+        step_plain = jax.jit(make_train_step(cfg, optimizer))
+        p_ref, _, logs_ref = step_plain(params, optimizer.init(params),
+                                        batch, 0)
+
+        mesh = make_mesh(2)
+        with mesh:
+            step_mesh = jax.jit(make_train_step(cfg, optimizer, mesh=mesh))
+            ps = replicate(mesh, params)
+            ss = replicate(mesh, optimizer.init(params))
+            bs = shard_batch(mesh, batch)
+            p_m, _, logs_m = step_mesh(ps, ss, bs, 0)
+
+        np.testing.assert_allclose(float(logs_m["loss"]),
+                                   float(logs_ref["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(float(logs_m["grad_norm"]),
+                                   float(logs_ref["grad_norm"]), rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_m)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)

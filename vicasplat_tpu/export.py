@@ -122,3 +122,42 @@ def load_exported(path):
     from jax import export as jexport
 
     return jexport.deserialize(pathlib.Path(path).read_bytes())
+
+
+def main(argv=None):
+    """`python -m vicasplat_tpu.export --out model.shlo --batch 1 --frames 8
+    [--ckpt ...] [--quantize]` — release-time artifact build."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--no-intrinsics", action="store_true",
+                    help="export the predicted-intrinsics calling convention")
+    ap.add_argument("--quantize", action="store_true")
+    ap.add_argument("--platforms", nargs="*", default=None,
+                    help='cross-platform lowering targets, e.g. tpu cpu')
+    args = ap.parse_args(argv)
+
+    from .models import (
+        GaussianAdapterConfig, VicaNetConfig, VicaSplatConfig,
+    )
+    from .serving import InferenceEngine
+
+    cfg = VicaSplatConfig(backbone=VicaNetConfig(img_size=args.size),
+                          gaussian_adapter=GaussianAdapterConfig(sh_degree=4))
+    engine = InferenceEngine(cfg, ckpt=args.ckpt, quantize=args.quantize)
+    blob = export_reconstruct(
+        engine, args.batch, args.frames, args.size, args.size,
+        with_intrinsics=not args.no_intrinsics, platforms=args.platforms)
+    save_exported(args.out, blob)
+    print(f"wrote {args.out} ({len(blob)} bytes, "
+          f"{args.batch}x{args.frames}x{args.size}^2"
+          f"{', int8' if args.quantize else ''})")
+
+
+if __name__ == "__main__":
+    main()

@@ -213,3 +213,38 @@ class TestGradAccumulation:
         batch = tiny_batch(jax.random.PRNGKey(1), B=4)
         with pytest.raises(ValueError, match="not divisible"):
             step(params, optimizer.init(params), batch, 0)
+
+
+class TestParamEMA:
+    def test_ema_matches_manual_recurrence(self):
+        import dataclasses
+
+        from vicasplat_tpu.training.optimizer import get_ema_params
+
+        cfg = tiny_train_cfg()
+        opt_cfg = dataclasses.replace(cfg.optimizer, ema_decay=0.9)
+        params = init_vicasplat(jax.random.PRNGKey(0), cfg.model)
+        optimizer = make_optimizer(params, opt_cfg)
+        step = jax.jit(make_train_step(cfg, optimizer))
+        batch = tiny_batch(jax.random.PRNGKey(1))
+
+        s = optimizer.init(params)
+        ema_manual = jax.tree.map(lambda x: np.asarray(x, np.float64), params)
+        p = params
+        for i in range(3):
+            p, s, _ = step(p, s, batch, i)
+            ema_manual = jax.tree.map(
+                lambda e, q: 0.9 * e + 0.1 * np.asarray(q, np.float64),
+                ema_manual, p)
+        ema = get_ema_params(s)
+        assert ema is not None
+        for a, b in zip(jax.tree.leaves(ema), jax.tree.leaves(ema_manual)):
+            np.testing.assert_allclose(np.asarray(a), b, atol=1e-5)
+
+    def test_off_by_default(self):
+        cfg = tiny_train_cfg()
+        params = init_vicasplat(jax.random.PRNGKey(0), cfg.model)
+        optimizer = make_optimizer(params, cfg.optimizer)
+        from vicasplat_tpu.training.optimizer import get_ema_params
+
+        assert get_ema_params(optimizer.init(params)) is None

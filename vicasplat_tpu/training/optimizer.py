@@ -32,6 +32,11 @@ class OptimizerConfig:
     # moment stays f32 (8-bit mantissa is too coarse for v). Default f32 =
     # reference-parity numerics.
     moment_dtype: str = "float32"
+    # >0 maintains an exponential moving average of the params inside the
+    # optimizer state (checkpointed/restored with it for free); retrieve
+    # with get_ema_params(opt_state). 0 = off (reference parity; +1x params
+    # of HBM when on). Typical: 0.999.
+    ema_decay: float = 0.0
 
 
 def lr_multiplier_tree(params, cfg: OptimizerConfig):
@@ -76,9 +81,35 @@ def make_schedule(cfg: OptimizerConfig):
     )
 
 
+def _track_param_ema(decay: float):
+    """Terminal chain link: applies the (already final) updates to params to
+    see the NEW params and folds them into an EMA carried in the optimizer
+    state — so the EMA checkpoints, restores, and donates with opt_state."""
+    def init_fn(params):
+        return {"ema": jax.tree.map(jnp.asarray, params)}
+
+    def update_fn(updates, state, params):
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree.map(
+            lambda e, p: decay * e + (1.0 - decay) * p,
+            state["ema"], new_params)
+        return updates, {"ema": ema}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def get_ema_params(opt_state):
+    """EMA params from an optimizer state built with ema_decay > 0 (the
+    tracker is the last chain element), else None."""
+    tail = opt_state[-1]
+    if isinstance(tail, dict) and "ema" in tail:
+        return tail["ema"]
+    return None
+
+
 def make_optimizer(params, cfg: OptimizerConfig) -> optax.GradientTransformation:
     mult = lr_multiplier_tree(params, cfg)
-    return optax.chain(
+    links = [
         optax.clip_by_global_norm(cfg.gradient_clip_val),
         optax.adamw(
             learning_rate=make_schedule(cfg),
@@ -88,4 +119,7 @@ def make_optimizer(params, cfg: OptimizerConfig) -> optax.GradientTransformation
             mu_dtype=jnp.bfloat16 if cfg.moment_dtype == "bfloat16" else None,
         ),
         _scale_by_tree(mult),
-    )
+    ]
+    if cfg.ema_decay > 0.0:
+        links.append(_track_param_ema(cfg.ema_decay))
+    return optax.chain(*links)

@@ -158,3 +158,37 @@ class TestLpipsGate:
         _, logs_after = compute_loss(params, cfg, batch, 150, lpips_fn=fake_lpips)
         assert float(logs_before["lpips"]) == 0.0
         assert float(logs_after["lpips"]) == 0.5
+
+
+class TestEmaRoundtrip:
+    def test_ema_survives_full_state_checkpoint(self, tmp_path):
+        """EMA params ride opt_state through save/restore; get_ema_params
+        recovers them bit-exact after the round-trip."""
+        import dataclasses
+
+        from vicasplat_tpu.training.optimizer import get_ema_params
+
+        cfg = tiny_train_cfg()
+        opt_cfg = dataclasses.replace(cfg.optimizer, ema_decay=0.95)
+        params = init_vicasplat(jax.random.PRNGKey(0), cfg.model)
+        optimizer = make_optimizer(params, opt_cfg)
+        step = jax.jit(make_train_step(cfg, optimizer))
+        batch = tiny_batch(jax.random.PRNGKey(1))
+        p, s = params, optimizer.init(params)
+        for i in range(2):
+            p, s, _ = step(p, s, batch, i)
+        ema_before = jax.device_get(get_ema_params(s))
+
+        ckpt = CheckpointManager(tmp_path / "ck", every_n_steps=1)
+        ckpt.save(2, jax.device_get(p), opt_state=jax.device_get(s),
+                  extra={"step": np.asarray(2, np.int64)})
+        ckpt.finalize()
+
+        fresh = init_vicasplat(jax.random.PRNGKey(9), cfg.model)
+        _, s2, _ = restore_train_state(
+            ckpt.latest(), fresh, optimizer.init(fresh))
+        ema_after = get_ema_params(s2)
+        assert ema_after is not None
+        for a, b in zip(jax.tree.leaves(ema_before),
+                        jax.tree.leaves(ema_after)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -366,7 +366,25 @@ def test(cfg):
 
     params = init_vicasplat(jax.random.PRNGKey(cfg.seed), cfg.encoder)
     if cfg.checkpointing.load:
-        params = load_weights(cfg.checkpointing.load, template=params)
+        if cfg.test.use_ema:
+            # EMA rides the optimizer state (optimizer.py _track_param_ema);
+            # rebuild the optimizer to restore the full state and pull it out
+            from .training.optimizer import get_ema_params
+            from .utils.checkpointing import restore_train_state
+
+            _, p0, optimizer = build_all(cfg)
+            p, opt_state, _ = restore_train_state(
+                cfg.checkpointing.load, p0, optimizer.init(p0))
+            ema = get_ema_params(opt_state)
+            if ema is None:
+                print("WARNING: test.use_ema=true but the checkpoint has no "
+                      "EMA state (weights-only, or trained with "
+                      "ema_decay=0); using raw weights")
+                params = p
+            else:
+                params = ema
+        else:
+            params = load_weights(cfg.checkpointing.load, template=params)
 
     eval_cfg = EvalConfig(
         output_path=cfg.test.output_path,

@@ -65,6 +65,9 @@ class TrainSectionConfig:
 @dataclasses.dataclass(frozen=True)
 class TestSectionConfig:
     output_path: str = "outputs/eval_results"
+    # evaluate the EMA weights from a full-state checkpoint trained with
+    # optimizer.ema_decay > 0 (falls back to the raw weights with a warning)
+    use_ema: bool = False
     align_pose: bool = True
     pose_align_steps: int = 100
     rot_opt_lr: float = 0.005

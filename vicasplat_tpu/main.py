@@ -40,6 +40,7 @@ def build_all(cfg):
         camera=cfg.loss.camera,
         dtype="bfloat16" if cfg.trainer.precision == "bfloat16" else "float32",
         remat=cfg.train.gradient_checkpointing,
+        remat_policy=cfg.train.remat_policy,
         distill_weight=cfg.train.distill_weight,
         distill_only_steps=cfg.train.distill_only_steps,
         distill_max_steps=cfg.train.distill_max_steps,

@@ -54,6 +54,10 @@ class TrainSectionConfig:
     distill_only_steps: int = 0
     distill_weight: float = 1.0
     gradient_checkpointing: bool = True
+    # remat policy under gradient_checkpointing: "none" = full recompute,
+    # "dots" = jax dots_with_no_batch_dims_saveable (matmul outputs survive
+    # the scan boundary; backward recomputes only elementwise work)
+    remat_policy: str = "none"
     # microbatch the per-step batch this many times inside one jitted step
     # (grad accumulation; Lightning's flag name for familiarity)
     accumulate_grad_batches: int = 1

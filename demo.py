@@ -5,7 +5,9 @@ Parity target: reference demo.py (gradio app): load_images (resize short
 side to 256 + center crop, :85-132), inference (:180-202),
 render_video_interpolation (:204-243), exports (:246-300). Gradio/trimesh
 are not available in this environment, so this is a CLI with identical
-pipeline semantics; `--serve` falls back to a simple folder watcher note.
+pipeline semantics; for an interactive surface use
+`python -m vicasplat_tpu.serving` (HTTP) or
+`visualization/viewer_server.py` (WebGL scene viewer).
 
 Usage:
   python demo.py --image_dir examples/scene --ckpt re10k_8view.ckpt \

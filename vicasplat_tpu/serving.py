@@ -13,9 +13,12 @@ ahead-of-time-compiled engine:
     methodology (tools/benchlib.py) rather than wall-clocking dispatches.
 
 `python -m vicasplat_tpu.serving --ckpt ... --port 8644` exposes
-POST /reconstruct (raw float32 image tensor in, scene summary + optional
-PLY out) for pipeline integration; heavy viewers should use demo.py +
-visualization/viewer_server.py instead.
+POST /reconstruct (raw float32 or compressed-JPEG clips) and
+POST /reconstruct_video (long videos via sliding-window streaming) for
+pipeline integration; heavy viewers should use demo.py +
+visualization/viewer_server.py instead. Opt-in throughput knobs:
+--quantize (int8 W8A8) and --prune (low-opacity splat dropping) — see
+docs/DEPLOY.md §3.
 """
 from __future__ import annotations
 

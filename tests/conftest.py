@@ -22,6 +22,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_default_matmul_precision", "highest")
+# the ambient sitecustomize enables the persistent compilation cache; in a
+# long full-suite process, re-reading a freshly written entry for one of
+# the heavier executables segfaults inside
+# compilation_cache.get_executable_and_time (2026-08-18, jax 0.9.0 CPU).
+# Tests recompile everything anyway — disable the cache for the suite.
+jax.config.update("jax_enable_compilation_cache", False)
 try:  # drop any backend the sitecustomize already initialized
     import jax.extend.backend
 

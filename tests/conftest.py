@@ -39,3 +39,21 @@ assert jax.default_backend() == "cpu", (
     f"tests require the CPU backend, got {jax.default_backend()}"
 )
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_xla_executables():
+    """Drop compiled executables after each test module.
+
+    A single full-suite process performs ~700 XLA-CPU compilations; with
+    every executable's JIT code held live, a late huge compile (the
+    grad-accumulation scan-of-train-step graph) segfaults inside
+    backend_compile_and_load (jax 0.9.0, reproduced twice at ~86% of the
+    suite on 2026-08-18; the same test passes in a fresh process).
+    Releasing executables between modules keeps code memory bounded;
+    within-module caching (the expensive repeated graphs) is unaffected.
+    """
+    yield
+    jax.clear_caches()

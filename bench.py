@@ -14,19 +14,18 @@ import json
 import os
 import time
 
-import jax
-import jax.numpy as jnp
-
-# persistent compile cache: first-ever run pays ~2-3 min of XLA compile,
-# later runs start in seconds
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-
 
 def main():
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compile cache: first-ever run pays ~2-3 min of XLA compile,
+    # later runs start in seconds
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     from vicasplat_tpu.decoder.splatting import (
         DecoderSplattingConfig,
         decoder_forward,
@@ -146,5 +145,47 @@ def main():
     print(json.dumps(result))
 
 
+def _run_guarded():
+    """Run main() in a child process; retry with a fresh compile cache if
+    the child dies without printing the JSON line.
+
+    A JAX process killed mid-write (timeout, tunnel outage) can leave a
+    CORRUPT entry in the persistent compile cache; every later reader of
+    that entry hard-aborts (SIGABRT inside
+    compilation_cache.get_executable_and_time — hit on 2026-08-18). A
+    signal death can't be caught in-process, so the retry has to live in a
+    parent that never imports jax itself.
+    """
+    import subprocess
+    import sys
+    import tempfile
+
+    def attempt(env):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+        )
+        sys.stderr.write(p.stderr)
+        return p
+
+    env = dict(os.environ, _VICA_BENCH_CHILD="1")
+    p = attempt(env)
+    if p.returncode != 0 or '"metric"' not in p.stdout:
+        sys.stderr.write(p.stdout)
+        sys.stderr.write(
+            f"\nbench child failed (rc={p.returncode}); retrying with a "
+            f"fresh compile cache\n"
+        )
+        env["JAX_COMPILATION_CACHE_DIR"] = tempfile.mkdtemp(
+            prefix="vica_bench_cache_"
+        )
+        p = attempt(env)
+    sys.stdout.write(p.stdout)
+    sys.exit(0 if '"metric"' in p.stdout else (p.returncode or 1))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("_VICA_BENCH_CHILD") == "1":
+        main()
+    else:
+        _run_guarded()

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import rope as rope_lib
+from .moe import moe_init, moe_mlp
 from .layers import (
     conv2d,
     conv2d_patchify,
@@ -69,6 +70,13 @@ class VicaNetConfig:
     # (TPU only; the einsum path is used on other backends and for the tiny
     # camera-query attention). Numerically the same softmax(QK^T)V in f32.
     use_flash_attention: bool = True
+    # >0 replaces the decoder image-stream MLP with a top-k-routed
+    # mixture-of-experts FFN (models/moe.py; beyond reference — the
+    # VicaSplat family is dense). Shardable over an "expert" mesh axis
+    # via parallel/ep.py.
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
 
     @property
     def grid(self) -> int:
@@ -133,7 +141,11 @@ def _dec_block_init(key, cfg: VicaNetConfig):
         "attn": _attn_init(ks[0], d),
         "cam_norm2": layernorm_init(d),
         "norm3": layernorm_init(d),
-        "mlp": mlp_init(ks[1], d, int(d * cfg.mlp_ratio)),
+        "mlp": (
+            mlp_init(ks[1], d, int(d * cfg.mlp_ratio))
+            if cfg.moe_experts == 0
+            else moe_init(ks[1], d, int(d * cfg.mlp_ratio), cfg.moe_experts)
+        ),
         "mlp_cam": mlp_init(ks[2], d, int(d * cfg.mlp_ratio)),
     }
     if cfg.use_framewise_modulation:
@@ -334,6 +346,14 @@ def _modulation(p, cam_normed, n_mods, dtype):
 
 def _dec_block_apply(p, img, cam, cfg: VicaNetConfig, tables, dtype):
     """One MixDecoderBlock. img: (B, T, N, C); cam: (B, T, C)."""
+    img, cam, _ = _dec_block_apply_aux(p, img, cam, cfg, tables, dtype)
+    return img, cam
+
+
+def _dec_block_apply_aux(p, img, cam, cfg: VicaNetConfig, tables, dtype,
+                         ep_mesh=None):
+    """_dec_block_apply + the block's MoE load-balance aux scalar (0.0 for
+    the dense MLP)."""
     B, T, N, C = img.shape
     H = cfg.dec_num_heads
     cos_s, sin_s, cos_t, sin_t, cam_mask = tables
@@ -413,11 +433,19 @@ def _dec_block_apply(p, img, cam, cfg: VicaNetConfig, tables, dtype):
     img_n = layernorm(p["norm3"], img)
     if scale_m is not None:
         img_n = img_n * (1.0 + scale_m) + shift_m
-    img_m = mlp(p["mlp"], img_n, dtype)
+    if "router" in p["mlp"]:
+        img_m, moe_aux = moe_mlp(
+            p["mlp"], img_n, top_k=cfg.moe_top_k,
+            capacity_factor=cfg.moe_capacity_factor, dtype=dtype,
+            ep_mesh=ep_mesh, return_aux=True,
+        )
+    else:
+        img_m = mlp(p["mlp"], img_n, dtype)
+        moe_aux = jnp.float32(0.0)
     img = img + (img_m if gate_m is None else (1.0 + gate_m) * img_m)
 
     cam = cam + mlp(p["mlp_cam"], cam_normed, dtype)
-    return img, cam
+    return img, cam, moe_aux
 
 
 def _apply_temporal(x, cos_t, sin_t):
@@ -436,12 +464,43 @@ def vicanet_forward(
     remat_policy: Optional[str] = None,
     pipeline_mesh=None,
     pipeline_n_micro: Optional[int] = None,
+    sp_mesh=None,
+    ep_mesh=None,
+    return_moe_aux: bool = False,
 ):
     """Returns (x_final, camera_extrinsic_tokens, camera_intrinsic_tokens,
     intermediates) where intermediates = [enc_out(1024-d)] + 12 decoder block
     outputs (768-d, last one normed), each (B, T, n_patches, C) with the
     intrinsic token stripped. (parity: reference backbone_vica.py:526-582)
+
+    sp_mesh: a ("data", "seq") mesh (parallel/sp.py) — sequence parallelism:
+    activations carry a tokens-over-"seq" sharding constraint at every block
+    boundary; GSPMD shards the LN/MLP/RoPE work and all-gathers K/V for the
+    attention contractions. Mutually exclusive with pipeline_mesh; forces
+    the einsum attention path (the Pallas flash kernel would need an
+    explicit shard_map wrapper).
+
+    ep_mesh: a ("data", "expert") mesh (parallel/ep.py) — expert
+    parallelism for MoE decoder MLPs (cfg.moe_experts > 0). Params must be
+    sharded with parallel/ep.shard_params_ep. return_moe_aux=True appends
+    the mean per-block load-balance loss to the return tuple (training
+    regularizer; 1.0 at perfect balance).
     """
+    if sp_mesh is not None:
+        assert pipeline_mesh is None, "sp_mesh and pipeline_mesh are exclusive"
+        assert ep_mesh is None, (
+            "sp_mesh and ep_mesh are exclusive (one mesh per forward; a "
+            "combined ('data','seq','expert') mesh is untested)"
+        )
+        import dataclasses as _dc
+
+        from ..parallel.sp import sp_shard_batch_only, sp_shard_tokens
+
+        if cfg.use_flash_attention:
+            cfg = _dc.replace(cfg, use_flash_attention=False)
+    else:
+        sp_shard_tokens = lambda x, m, token_axis=-2: x  # noqa: E731
+        sp_shard_batch_only = lambda x, m: x  # noqa: E731
     B, T, Himg, Wimg, _ = images.shape
     # grids derive from the actual input (landscape rectangles supported;
     # portrait batches are transposed before this — see
@@ -477,8 +536,11 @@ def vicanet_forward(
         if remat_policy == "dots" else None
     )
 
+    x = sp_shard_tokens(x, sp_mesh)
+
     def enc_step(h, blk):
-        return _enc_block_apply(blk, h, cos_e, sin_e, cfg.enc_num_heads, dtype), None
+        h = _enc_block_apply(blk, h, cos_e, sin_e, cfg.enc_num_heads, dtype)
+        return sp_shard_tokens(h, sp_mesh), None
 
     step = jax.checkpoint(enc_step, policy=_policy) if remat else enc_step
     if pipeline_mesh is not None:
@@ -499,7 +561,8 @@ def vicanet_forward(
     enc_out = x.reshape(B, T, N, cfg.enc_embed_dim)
 
     # --- decoder ---
-    img = linear(params["decoder_embed"], enc_out, dtype)
+    img = sp_shard_tokens(linear(params["decoder_embed"], enc_out, dtype),
+                          sp_mesh)
     d = cfg.dec_embed_dim
     tok_i = params["camera_intrinsic_token"].astype(img.dtype)
     tok_e = params["camera_extrinsic_token"].astype(img.dtype)
@@ -511,6 +574,8 @@ def vicanet_forward(
         axis=1,
     )
 
+    cam = sp_shard_batch_only(cam, sp_mesh)
+
     cos_s, sin_s = _spatial_rope_tables(cfg, cfg.dec_head_dim, (gh, gw))
     cos_t, sin_t = _temporal_rope_tables(cfg, T)
     cam_mask = (
@@ -521,13 +586,28 @@ def vicanet_forward(
     tables = (cos_s, sin_s, cos_t, sin_t, cam_mask)
 
     def dec_step(carry, blk):
-        img, cam = carry
-        img, cam = _dec_block_apply(blk, img, cam, cfg, tables, dtype)
-        return (img, cam), img
+        img, cam, aux = carry
+        img, cam, a = _dec_block_apply_aux(blk, img, cam, cfg, tables,
+                                           dtype, ep_mesh)
+        img = sp_shard_tokens(img, sp_mesh)
+        cam = sp_shard_batch_only(cam, sp_mesh)
+        return (img, cam, aux + a), img
 
     step = jax.checkpoint(dec_step, policy=_policy) if remat else dec_step
     if (pipeline_mesh is not None
             and cfg.dec_depth % pipeline_mesh.shape["pipe"] == 0):
+        assert cfg.moe_experts == 0, (
+            "MoE decoder MLPs don't compose with the pipeline scan; "
+            "use ep_mesh instead of pipeline_mesh"
+        )
+
+        def dec_step2(carry, blk):
+            img, cam = carry
+            img, cam = _dec_block_apply(blk, img, cam, cfg, tables, dtype)
+            return (img, cam), img
+
+        step2 = (jax.checkpoint(dec_step2, policy=_policy) if remat
+                 else dec_step2)
         # decoder attention is joint over all frames, so only the example
         # axis B microbatches (B=1 still gets the S-fold param-memory win,
         # just no bubble overlap); per-block outputs are the DPT hooks.
@@ -535,13 +615,15 @@ def vicanet_forward(
 
         n_req = pipeline_n_micro or pipeline_mesh.shape["pipe"]
         (img, cam), inter = pipeline_scan(
-            step, params["dec_blocks"], (img, cam), pipeline_mesh,
+            step2, params["dec_blocks"], (img, cam), pipeline_mesh,
             n_micro=max(1, _math.gcd(B, n_req)), collect_outputs=True,
         )
+        moe_aux = jnp.float32(0.0)
     else:
-        (img, cam), inter = jax.lax.scan(
-            step, (img, cam), params["dec_blocks"]
+        (img, cam, moe_aux), inter = jax.lax.scan(
+            step, (img, cam, jnp.float32(0.0)), params["dec_blocks"]
         )
+    moe_aux = moe_aux / cfg.dec_depth
 
     # intermediates: [enc_out] + per-block outputs, last one layer-normed
     intermediates = [enc_out] + [inter[i] for i in range(cfg.dec_depth)]
@@ -556,4 +638,6 @@ def vicanet_forward(
         camera_intrinsic = cam[:, 0]
         camera_extrinsic = cam[:, 1:]
 
-    return intermediates[-1], camera_extrinsic, camera_intrinsic, intermediates
+    out = (intermediates[-1], camera_extrinsic, camera_intrinsic,
+           intermediates)
+    return out + (moe_aux,) if return_moe_aux else out

@@ -149,6 +149,7 @@ def vicasplat_forward(
     remat: bool = False,
     remat_policy=None,
     pipeline_mesh=None,
+    sp_mesh=None,
 ) -> dict:
     images = context["image"]  # (B, T, H, W, 3), normalized to [-1, 1]
     B, T, H, W, _ = images.shape
@@ -157,7 +158,7 @@ def vicasplat_forward(
     _, camera_embeds, global_embeds, interms = vicanet_forward(
         params["backbone"], bb, images, context.get("intrinsics"),
         dtype=dtype, remat=remat, remat_policy=remat_policy,
-        pipeline_mesh=pipeline_mesh,
+        pipeline_mesh=pipeline_mesh, sp_mesh=sp_mesh,
     )
 
     # ---- camera pose ----

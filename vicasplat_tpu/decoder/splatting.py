@@ -57,11 +57,18 @@ def flatten_gaussians(g: Gaussians) -> Gaussians:
 def prune_gaussians(g: Gaussians, fraction: float) -> Gaussians:
     """Keep the top (1-fraction) of splats by opacity, per batch element.
 
-    One `lax.top_k` over (B, N) picks survivors; every field is gathered
-    with the same static-K index set, so all downstream shapes stay static
-    (the XLA requirement) and every per-view sort/bin/composite shrinks.
-    The survivors keep top_k's opacity order — irrelevant downstream, the
-    rasterizer re-sorts by depth keys.
+    One `lax.top_k` over (B, N) picks survivors, so all downstream shapes
+    stay static (the XLA requirement) and every per-view sort/bin/composite
+    shrinks. The survivors keep top_k's opacity order — irrelevant
+    downstream, the rasterizer re-sorts by depth keys.
+
+    TPU gather note (measured, tools/jobs/079b): row gathers are row-ISSUE
+    bound, ~2.7 ms per 131k rows regardless of row width — so gathering the
+    six fields separately costs ~6x one gather and made pruning a net LOSS
+    (12-view render 56 -> 110 ms at fraction=0.25). All fields are instead
+    packed into ONE (B, N, C) matrix and gathered with a single row gather,
+    then unpacked (the concat/split are contiguous-bandwidth ops, ~0.5 ms
+    at 524k x ~95 f32).
     """
     N = g.opacities.shape[1]
     keep = max(1, int(round(N * (1.0 - fraction))))
@@ -69,17 +76,37 @@ def prune_gaussians(g: Gaussians, fraction: float) -> Gaussians:
         keep = max(128, (keep // 128) * 128)
     _, idx = jax.lax.top_k(g.opacities, keep)  # (B, keep)
 
-    def take(x):
+    fields = [
+        ("means", g.means), ("covariances", g.covariances),
+        ("harmonics", g.harmonics), ("opacities", g.opacities[..., None]),
+        ("scales", g.scales), ("rotations", g.rotations),
+    ]
+    b = g.opacities.shape[0]
+    parts, spans = [], {}
+    col = 0
+    for name, x in fields:
         if x is None:
+            spans[name] = None
+            continue
+        flat = x.reshape(b, N, -1)
+        spans[name] = (col, col + flat.shape[-1], x.shape[2:])
+        col += flat.shape[-1]
+        parts.append(flat)
+    packed = jnp.concatenate(parts, axis=-1)  # (B, N, C)
+    kept = jnp.take_along_axis(packed, idx[..., None], axis=1)  # one gather
+
+    def unpack(name):
+        span = spans[name]
+        if span is None:
             return None
-        ix = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
-        return jnp.take_along_axis(x, ix, axis=1)
+        lo, hi, shape = span
+        return kept[..., lo:hi].reshape(b, keep, *shape)
 
     return Gaussians(
-        means=take(g.means), covariances=take(g.covariances),
-        harmonics=take(g.harmonics),
-        opacities=jnp.take_along_axis(g.opacities, idx, axis=1),
-        scales=take(g.scales), rotations=take(g.rotations),
+        means=unpack("means"), covariances=unpack("covariances"),
+        harmonics=unpack("harmonics"),
+        opacities=unpack("opacities")[..., 0],
+        scales=unpack("scales"), rotations=unpack("rotations"),
     )
 
 

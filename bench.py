@@ -104,9 +104,12 @@ def main():
     try:
         base_n, n_iters = 2, 12
         run(base_n), run(n_iters)  # compile + first-dispatch warmup
-        dt = min(
-            (run(n_iters) - run(base_n)) / (n_iters - base_n) for _ in range(2)
-        )
+        # difference the per-phase MINIMA (not min of paired differences):
+        # tunnel jitter is one-sided ~50 ms spikes, so pairing a jittered
+        # base run with a clean long run biases the estimate low
+        t_base = min(run(base_n) for _ in range(2))
+        t_n = min(run(n_iters) for _ in range(2))
+        dt = (t_n - t_base) / (n_iters - base_n)
     except Exception as e:  # pragma: no cover - tunnel-dependent
         # The axon pool's remote-compile service drops very long compile
         # requests (~29 min: Broken pipe) and the scan-wrapped e2e graph

@@ -66,21 +66,27 @@ def sync(x):
     return float(np.asarray(jax.device_get(x)).sum())
 
 
-def device_time(fn, *args, iters=30, base=2, repeats=1):
-    """True on-device seconds per iteration of fn(*args)."""
+def device_time(fn, *args, iters=30, base=2, repeats=2):
+    """True on-device seconds per iteration of fn(*args).
+
+    Differences min(T_n) - min(T_base) over repeats (NOT min of per-repeat
+    differences): tunnel jitter is one-sided (~50 ms spikes on top of the
+    true time), so the min of each phase is the robust estimate — pairing a
+    jittered base run with a clean long run produced negative sub-op
+    timings in the r3 decomposition (tools/jobs/011, full_bin -2.1 ms)."""
     loop = _make_loop(fn)
     e_base = jnp.zeros((base,), jnp.float32)
     e_n = jnp.zeros((iters,), jnp.float32)
     # warm both shapes (compile + first-dispatch costs)
     sync(loop(e_base, *args))
     sync(loop(e_n, *args))
-    best = float("inf")
+    t_base = float("inf")
+    t_n = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         sync(loop(e_base, *args))
-        t_base = time.perf_counter() - t0
+        t_base = min(t_base, time.perf_counter() - t0)
         t0 = time.perf_counter()
         sync(loop(e_n, *args))
-        t_n = time.perf_counter() - t0
-        best = min(best, (t_n - t_base) / (iters - base))
-    return best
+        t_n = min(t_n, time.perf_counter() - t0)
+    return (t_n - t_base) / (iters - base)

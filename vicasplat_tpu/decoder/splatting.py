@@ -57,10 +57,16 @@ def flatten_gaussians(g: Gaussians) -> Gaussians:
 def prune_gaussians(g: Gaussians, fraction: float) -> Gaussians:
     """Keep the top (1-fraction) of splats by opacity, per batch element.
 
-    One `lax.top_k` over (B, N) picks survivors, so all downstream shapes
-    stay static (the XLA requirement) and every per-view sort/bin/composite
-    shrinks. The survivors keep top_k's opacity order — irrelevant
-    downstream, the rasterizer re-sorts by depth keys.
+    Survivor selection is a per-batch 1-D PAIR SORT by descending opacity
+    plus a contiguous slice of the first `keep` indices — NOT `lax.top_k`:
+    at serving fractions the kept count is a large share of N, and top_k
+    with k ~ N is a full sort through a much slower code path (measured,
+    tools/jobs/012: prune=0.25 made the 12-view render 48.6 -> 69 ms; a
+    524k pair sort is 1.11 ms, tools/jobs/010). All downstream shapes stay
+    static (the XLA requirement) and every per-view sort/bin/composite
+    shrinks. Survivor order is irrelevant downstream — the rasterizer
+    re-sorts by depth keys. Batched 2-D sorts are catastrophic on TPU
+    (notes, jobs 010), so the B axis is a Python loop (B is 1-2 here).
 
     TPU gather note (measured, tools/jobs/079b): row gathers are row-ISSUE
     bound, ~2.7 ms per 131k rows regardless of row width — so gathering the
@@ -74,7 +80,13 @@ def prune_gaussians(g: Gaussians, fraction: float) -> Gaussians:
     keep = max(1, int(round(N * (1.0 - fraction))))
     if N >= 256:  # keep the lane dimension aligned when there is room
         keep = max(128, (keep // 128) * 128)
-    _, idx = jax.lax.top_k(g.opacities, keep)  # (B, keep)
+    iota = jnp.arange(N, dtype=jnp.int32)
+    idx = jnp.stack([
+        jax.lax.sort((-g.opacities[b], iota), num_keys=1, is_stable=False)[1][
+            :keep
+        ]
+        for b in range(g.opacities.shape[0])
+    ])  # (B, keep)
 
     fields = [
         ("means", g.means), ("covariances", g.covariances),

@@ -183,6 +183,15 @@ def train(cfg):
                     if writer is not None:
                         for k, v in logs.items():
                             writer.add_scalar(f"train/{k}", float(v), global_step)
+                        # LR monitor (reference: Lightning LearningRateMonitor,
+                        # src/main.py:77): evaluate the schedule host-side
+                        from .training.optimizer import make_schedule
+
+                        writer.add_scalar(
+                            "train/lr",
+                            float(make_schedule(cfg.optimizer)(global_step)),
+                            global_step,
+                        )
                 if ckpt.should_save(global_step):
                     save_ckpt(global_step)
                 if (

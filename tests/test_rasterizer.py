@@ -714,3 +714,22 @@ class TestOriginBinning:
             jax.jit(lambda a: bitonic_topk_u32(a, 64, interpret=True))(x)
         )
         np.testing.assert_array_equal(got, np.sort(np.asarray(x), axis=1)[:, :64])
+
+
+class TestChunkedOracle:
+    def test_chunked_matches_dense(self):
+        """The px-chunked oracle (large-scene cap study) is bit-equivalent
+        in math to the dense one; only the pixel blocking differs."""
+        from vicasplat_tpu.ops.rasterize.reference import (
+            render_view_bruteforce_chunked,
+        )
+
+        means, covs, sh, opac = make_scene(jax.random.PRNGKey(7), n=96, d_sh=4)
+        shape = (24, 40)  # non-square, P=960 not divisible by px_chunk
+        args = (means, covs, sh, opac, jnp.eye(4), CAM["intrinsics"][0],
+                shape, BG, 1)
+        c0, d0, a0 = render_view_bruteforce(*args)
+        c1, d1, a1 = render_view_bruteforce_chunked(*args, px_chunk=128)
+        np.testing.assert_allclose(c1, c0, atol=1e-6)
+        np.testing.assert_allclose(d1, d0, atol=1e-6)
+        np.testing.assert_allclose(a1, a0, atol=1e-6)

@@ -55,6 +55,20 @@ def parse_args(argv=None):
     # geometry (the 071 collapse: a newly-unlocked far frame's photometric
     # gradient destroyed the converged scene).
     ap.add_argument("--pose_only_warmup", action="store_true")
+    # held-out novel-view protocol (reference: the test_step renders target
+    # views never seen by the photometric loss — src/model/model_wrapper.py
+    # 323-440). The model still INGESTS all T frames (they shape the
+    # Gaussians + predicted poses); held-out frames simply contribute zero
+    # photometric loss, and at the end we report their render PSNR/SSIM
+    # separately plus a pose-consistency probe (local SE(3) refinement at
+    # the held-out pose: a small refinement delta means the predicted pose
+    # is photometrically consistent).
+    ap.add_argument("--holdout", default="",
+                    help="comma-separated frame indices excluded from loss")
+    ap.add_argument("--save_ckpt", action="store_true",
+                    help="save params pickle + full gaussians npz")
+    ap.add_argument("--tag", default="",
+                    help="suffix for the output subdir (<scene><tag>)")
     ap.add_argument("--output_dir", default="outputs/real_scene_overfit")
     return ap.parse_args(argv)
 
@@ -116,6 +130,16 @@ def main(argv=None):
         "intrinsics": jnp.broadcast_to(K, (1, T, 3, 3)),
     }
     gt = jnp.asarray(images)[None]  # (1, T, S, S, 3)
+    holdout = sorted(
+        {int(x) for x in args.holdout.split(",") if x.strip() != ""}
+    )
+    assert all(0 <= h < T for h in holdout)
+    train_frames = [t for t in range(T) if t not in holdout]
+    loss_mask = jnp.asarray(
+        np.array([0.0 if t in holdout else 1.0 for t in range(T)], np.float32)
+    )
+    if holdout:
+        print(f"held-out frames (no photometric loss): {holdout}")
     dec_cfg = DecoderSplattingConfig()
     near = jnp.full((1, T), 0.05)
     far = jnp.full((1, T), 100.0)
@@ -156,6 +180,7 @@ def main(argv=None):
             w = jnp.where(t_idx < 2, 1.0, w).astype(jnp.float32)
         else:
             w = jnp.ones((T,), jnp.float32)
+        w = w * loss_mask  # held-out frames contribute zero loss
         wn = w / w.sum()
         color = rendered.color
         if args.pose_only_warmup and args.frame_curriculum > 0:
@@ -206,7 +231,7 @@ def main(argv=None):
           f"({args.steps / wall:.2f} it/s)")
 
     # ---- final artifacts ----
-    out_dir = pathlib.Path(args.output_dir) / args.scene
+    out_dir = pathlib.Path(args.output_dir) / (args.scene + args.tag)
     out_dir.mkdir(parents=True, exist_ok=True)
 
     out = jax.jit(
@@ -217,16 +242,124 @@ def main(argv=None):
         batch["intrinsics"], near, far, (S, S),
     )
     recon = np.asarray(rendered.color[0])
-    per_frame_psnr = [
-        float(-10 * np.log10(max(np.mean((recon[i] - images[i]) ** 2), 1e-10)))
-        for i in range(T)
+
+    def _psnr(a, b):
+        return float(-10 * np.log10(max(np.mean((a - b) ** 2), 1e-10)))
+
+    per_frame_psnr = [_psnr(recon[i], images[i]) for i in range(T)]
+    per_frame_ssim = [
+        float(ssim(jnp.asarray(np.clip(recon[i], 0, 1)),
+                   jnp.asarray(images[i]))) for i in range(T)
     ]
     poses = np.asarray(out["gaussian_camera_extrins"][0])
     pose_spread = float(np.abs(poses[1:] - np.eye(4)).max())
     print(f"reconstruction psnr per frame: "
           f"{[round(p, 2) for p in per_frame_psnr]}")
+    print(f"ssim per frame: {[round(s, 3) for s in per_frame_ssim]}")
     print(f"pose spread (max |pose-I| over frames 1..{T - 1}): "
           f"{pose_spread:.4f}")
+
+    holdout_report = None
+    if holdout:
+        # Baselines that a memorizing model could hit WITHOUT geometry:
+        # (a) the pixelwise mean of the training frames; (b) the single
+        # nearest training frame, copied verbatim. Held-out render PSNR
+        # must clear both to demonstrate novel-view synthesis.
+        train_imgs = images[np.array(train_frames)]
+        mean_img = train_imgs.mean(0)
+        baselines = {}
+        for h in holdout:
+            baselines[h] = {
+                "mean_image_psnr": _psnr(mean_img, images[h]),
+                "nearest_train_psnr": max(
+                    _psnr(images[t], images[h]) for t in train_frames
+                ),
+            }
+        # Pose-consistency probe: freeze the scene, locally refine an
+        # SE(3) delta on the held-out frame's photometric error. If the
+        # PREDICTED pose is photometrically consistent, the refinement
+        # converges to a small delta / small PSNR gain.
+        from vicasplat_tpu.geometry.se3 import se3_exp
+
+        g_frozen = jax.tree.map(jax.lax.stop_gradient, out["gaussians"])
+
+        def render_at(ext_1):
+            r = decoder_forward(
+                dec_cfg, g_frozen, ext_1[None, None],
+                batch["intrinsics"][:, :1], near[:, :1], far[:, :1], (S, S),
+            )
+            return r.color[0, 0]
+
+        refine = {}
+        for h in holdout:
+            gt_h = jnp.asarray(images[h])
+            ext0 = jnp.asarray(poses[h])
+
+            def ref_loss(delta):
+                c = render_at(ext0 @ se3_exp(delta))
+                return jnp.mean((c - gt_h) ** 2)
+
+            delta = jnp.zeros((6,))
+            r_opt = optax.adam(1e-3)
+            r_state = r_opt.init(delta)
+
+            @jax.jit
+            def r_step(d, s):
+                l, g = jax.value_and_grad(ref_loss)(d)
+                g = jnp.where(jnp.isfinite(g), g, 0.0)
+                u, s = r_opt.update(g, s, d)
+                return optax.apply_updates(d, u), s, l
+
+            mse0 = float(ref_loss(delta))
+            for _ in range(200):
+                delta, r_state, _ = r_step(delta, r_state)
+            mse1 = float(ref_loss(delta))
+            d = np.asarray(delta)
+            rot_deg = float(np.degrees(np.linalg.norm(d[3:])))
+            refine[h] = {
+                "psnr_at_predicted_pose": float(-10 * np.log10(max(mse0, 1e-10))),
+                "psnr_after_local_refine": float(-10 * np.log10(max(mse1, 1e-10))),
+                "refine_rot_deg": rot_deg,
+                "refine_trans": float(np.linalg.norm(d[:3])),
+            }
+            print(f"holdout {h}: psnr {refine[h]['psnr_at_predicted_pose']:.2f}"
+                  f" -> refined {refine[h]['psnr_after_local_refine']:.2f}"
+                  f" (rot {rot_deg:.3f} deg, trans {refine[h]['refine_trans']:.4f})")
+        holdout_report = {
+            "holdout_frames": holdout,
+            "train_frames": train_frames,
+            "holdout_psnr": {h: per_frame_psnr[h] for h in holdout},
+            "holdout_ssim": {h: per_frame_ssim[h] for h in holdout},
+            "train_psnr_mean": float(
+                np.mean([per_frame_psnr[t] for t in train_frames])
+            ),
+            "holdout_psnr_mean": float(
+                np.mean([per_frame_psnr[h] for h in holdout])
+            ),
+            "baselines": baselines,
+            "pose_refine": refine,
+        }
+
+    if args.save_ckpt:
+        import pickle
+
+        with open(out_dir / "ckpt.pkl", "wb") as fp:
+            pickle.dump(
+                {"params": jax.device_get(params), "size": S,
+                 "scene": args.scene, "holdout": holdout}, fp,
+            )
+        g_np = out["gaussians"]
+        np.savez_compressed(
+            out_dir / "gaussians_full.npz",
+            means=np.asarray(g_np.means[0]),
+            scales=np.asarray(g_np.scales[0]),
+            rotations=np.asarray(g_np.rotations[0]),
+            harmonics=np.asarray(g_np.harmonics[0]),
+            opacities=np.asarray(g_np.opacities[0]),
+            extrinsics=poses,
+            intrinsics=np.asarray(K),
+        )
+        print(f"saved ckpt.pkl + gaussians_full.npz to {out_dir}")
 
     # side-by-side GT (top) vs render (bottom)
     grid = np.concatenate(
@@ -276,8 +409,14 @@ def main(argv=None):
                 "it_per_s": round(args.steps / wall, 2),
                 "history": history,
                 "per_frame_psnr": [round(p, 2) for p in per_frame_psnr],
+                "per_frame_ssim": [round(s, 4) for s in per_frame_ssim],
                 "mean_psnr": round(float(np.mean(per_frame_psnr)), 2),
                 "pose_spread": round(pose_spread, 4),
+                "holdout": holdout_report,
+                "config": {
+                    k: v for k, v in vars(args).items()
+                    if k not in ("examples_dir", "output_dir")
+                },
             },
             fj, indent=2,
         )

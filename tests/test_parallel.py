@@ -650,3 +650,64 @@ class TestAccumulationOnMesh:
         for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_m)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6)
+
+
+class TestPipelineTrainStep:
+    def test_pp_dp_train_step_matches_serial(self):
+        """The FULL train step with pipeline_mesh (PP-4 x DP-2, stacked
+        blocks stage-sharded, batch data-sharded) matches the plain serial
+        step: same loss, same updated params (the memory-proof
+        configuration, parallel/memory_proof.py)."""
+        import dataclasses
+
+        import optax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tests.test_training import tiny_batch, tiny_train_cfg
+        from vicasplat_tpu.models import init_vicasplat
+        from vicasplat_tpu.parallel import make_mesh_pipe_data
+        from vicasplat_tpu.training import make_train_step
+
+        cfg = tiny_train_cfg()
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, backbone=dataclasses.replace(
+                    cfg.model.backbone, enc_depth=4)))
+        params = init_vicasplat(jax.random.PRNGKey(0), cfg.model)
+        optimizer = optax.sgd(1e-3)
+        batch = tiny_batch(jax.random.PRNGKey(1), B=4)
+
+        step_plain = jax.jit(make_train_step(cfg, optimizer))
+        p_ref, _, logs_ref = step_plain(params, optimizer.init(params),
+                                        batch, 0)
+
+        mesh = make_mesh_pipe_data(4, 2)
+
+        def put_params(tree):
+            def one(path, x):
+                names = [getattr(k, "key", "") for k in path]
+                if any(n in ("enc_blocks", "dec_blocks") for n in names):
+                    return jax.device_put(
+                        x, NamedSharding(
+                            mesh, P("pipe", *([None] * (x.ndim - 1)))))
+                return jax.device_put(x, NamedSharding(mesh, P()))
+
+            return jax.tree_util.tree_map_with_path(one, tree)
+
+        with mesh:
+            step_pp = jax.jit(
+                make_train_step(cfg, optimizer, mesh=mesh,
+                                pipeline_mesh=mesh))
+            ps = put_params(params)
+            ss = put_params(optimizer.init(params))
+            bs = jax.tree.map(
+                lambda x: jax.device_put(
+                    x, NamedSharding(
+                        mesh, P("data", *([None] * (x.ndim - 1))))), batch)
+            p_pp, _, logs_pp = step_pp(ps, ss, bs, 0)
+
+        np.testing.assert_allclose(float(logs_pp["loss"]),
+                                   float(logs_ref["loss"]), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_pp)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=2e-6)

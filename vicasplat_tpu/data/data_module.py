@@ -179,6 +179,13 @@ DATASETS = {
     "scannet_pose": (DatasetScannet, DatasetScannetConfig),
 }
 
+from .synthetic_scenes import (  # noqa: E402
+    DatasetSyntheticScenes,
+    SyntheticScenesConfig,
+)
+
+DATASETS["synthetic"] = (DatasetSyntheticScenes, SyntheticScenesConfig)
+
 
 def _build_dataset(ds_dict: dict, stage: str, step_tracker, seed: int):
     d = dict(ds_dict)

@@ -188,6 +188,20 @@ def conv2d_s2d(p, x, kernel: int, s: int = 4, dtype=None):
     space. Exactly equivalent to conv2d(p, x, padding="SAME"-centered) for
     odd kernels; ~8x faster than im2col for the 7x7 RGB merger.
     """
+    n, h, wd, _ = x.shape
+    y = conv2d_s2d_folded(p, x, kernel, s=s, dtype=dtype)
+    o = y.shape[-1]
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h, wd, o)
+    return y
+
+
+def conv2d_s2d_folded(p, x, kernel: int, s: int = 4, dtype=None):
+    """conv2d_s2d WITHOUT the final depth-to-space: returns the block-space
+    output (n, h/s, w/s, s, s, O) — phase axes (dy, dx) explicit. Callers
+    that consume the result elementwise (e.g. the DPT gs-head merger add)
+    can stay in folded space and defer the 134 MB reshuffle until after the
+    fusion boundary. d2s is `y.transpose(0, 1, 3, 2, 4, 5).reshape(n,h,w,O)`.
+    """
     w = p["w"]  # (k, k, C, O)
     k = kernel
     assert k % 2 == 1, "centered SAME padding requires an odd kernel"
@@ -232,8 +246,7 @@ def conv2d_s2d(p, x, kernel: int, s: int = 4, dtype=None):
         xs, w2, (1, 1), ((-kh_lo, kh_hi), (-kh_lo, kh_hi)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )  # (n, hb, wb, s*s*o)
-    y = y.reshape(n, hb, wb, s, s, o).transpose(0, 1, 3, 2, 4, 5)
-    y = y.reshape(n, h, wd, o)
+    y = y.reshape(n, hb, wb, s, s, o)
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y

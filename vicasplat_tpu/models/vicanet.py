@@ -550,9 +550,12 @@ def vicanet_forward(
         # pipeline the deepest stack over a "pipe" mesh axis: stage-local
         # block shards, ppermute activation hops (parallel/pp.py). The
         # frame axis (B*T) supplies the microbatches.
+        # on a ("pipe", "data") mesh (make_mesh_pipe_data) the microbatch
+        # batch dim additionally shards over "data": PP x DP composition
+        pp_da = "data" if "data" in pipeline_mesh.shape else None
         x = pipeline_scan(
             lambda h, blk: step(h, blk)[0], params["enc_blocks"], x,
-            pipeline_mesh, n_micro=pipeline_n_micro,
+            pipeline_mesh, n_micro=pipeline_n_micro, data_axis=pp_da,
         )
     else:
         x, _ = jax.lax.scan(step, x, params["enc_blocks"])
@@ -614,9 +617,12 @@ def vicanet_forward(
         import math as _math
 
         n_req = pipeline_n_micro or pipeline_mesh.shape["pipe"]
+        pp_da = "data" if "data" in pipeline_mesh.shape else None
+        b_eff = B // pipeline_mesh.shape["data"] if pp_da else B
         (img, cam), inter = pipeline_scan(
             step2, params["dec_blocks"], (img, cam), pipeline_mesh,
-            n_micro=max(1, _math.gcd(B, n_req)), collect_outputs=True,
+            n_micro=max(1, _math.gcd(b_eff, n_req)), collect_outputs=True,
+            data_axis=pp_da,
         )
         moe_aux = jnp.float32(0.0)
     else:

@@ -105,7 +105,8 @@ def distillation_loss(out, teacher_fn, batch, key):
 
 def compute_loss(params, cfg: TrainConfig, batch, global_step, lpips_fn=None,
                  teacher_fn=None, distill_key=None, phase: str = "full",
-                 mesh=None, data_axis: str = "data"):
+                 mesh=None, data_axis: str = "data", *,
+                 pipeline_mesh=None, sp_mesh=None):
     """batch: {"context": {image (B,T,H,W,3) in [0,1], intrinsics, extrinsics,
     near, far}, "target": {...}}. Images are shimmed to [-1,1] here.
 
@@ -127,6 +128,7 @@ def compute_loss(params, cfg: TrainConfig, batch, global_step, lpips_fn=None,
         params, cfg.model, ctx_model, global_step, dtype=dtype,
         remat=cfg.remat, distill=phase == "distill_only",
         remat_policy=(None if cfg.remat_policy == "none" else cfg.remat_policy),
+        pipeline_mesh=pipeline_mesh, sp_mesh=sp_mesh,
     )
     losses = {
         "camera": camera_loss(
@@ -194,14 +196,21 @@ def pick_phase(cfg: TrainConfig, global_step: int, has_teacher: bool) -> str:
 
 def make_train_step(cfg: TrainConfig, optimizer: optax.GradientTransformation,
                     lpips_fn=None, teacher_fn=None, mesh=None,
-                    data_axis: str = "data"):
+                    data_axis: str = "data", pipeline_mesh=None,
+                    sp_mesh=None):
     """mesh: pass the data-parallel jax.sharding.Mesh when the step will run
-    sharded — the render is then shard_map'ed batch-local (see compute_loss)."""
+    sharded — the render is then shard_map'ed batch-local (see compute_loss).
+    pipeline_mesh: a ("pipe",) or ("pipe", "data") mesh (parallel/pp.py) —
+    the backbone's stacked blocks run as a GPipe pipeline, stage-sharded
+    over "pipe" (differentiable; the backward is the mirror pipeline).
+    sp_mesh: a ("data", "seq") mesh (parallel/sp.py) — sequence-parallel
+    activation constraints inside the backbone."""
     def grads_once(params, batch, global_step, key, phase):
         (loss, logs), grads = jax.value_and_grad(
             compute_loss, has_aux=True
         )(params, cfg, batch, global_step, lpips_fn, teacher_fn, key,
-          phase, mesh, data_axis)
+          phase, mesh, data_axis, pipeline_mesh=pipeline_mesh,
+          sp_mesh=sp_mesh)
         # NaN-grad guard (reference src/main.py:42-47 zeroes NaN grads);
         # per-microbatch so one bad microbatch can't poison the whole sum
         grads = jax.tree.map(

@@ -733,3 +733,54 @@ class TestChunkedOracle:
         np.testing.assert_allclose(c1, c0, atol=1e-6)
         np.testing.assert_allclose(d1, d0, atol=1e-6)
         np.testing.assert_allclose(a1, a0, atol=1e-6)
+
+
+class TestAdaptiveCaps:
+    def test_sparse_scene_keeps_base(self):
+        from vicasplat_tpu.ops.rasterize import select_raster_config
+
+        means, covs, sh, opac = make_scene(jax.random.PRNGKey(0), n=32)
+        cfg = select_raster_config(
+            means, covs, sh, opac, jnp.eye(4), CAM["intrinsics"][0],
+            (32, 32), 0, base=CFG,
+        )
+        assert cfg.dup_hw == CFG.dup_hw
+        assert cfg.max_per_tile == CFG.max_per_tile
+
+    def test_dense_scene_escalates(self):
+        """A scene of large, heavily-overlapping splats must escalate BOTH
+        caps (the reference rasterizer is unbounded — our static caps must
+        self-correct rather than silently truncate)."""
+        from vicasplat_tpu.ops.rasterize import select_raster_config
+
+        k = jax.random.split(jax.random.PRNGKey(1), 3)
+        n = 300
+        # all splats piled near the center; 3-sigma footprint ~ 23 px =
+        # ~3.9 tiles at tile_px=8 (needs dup 4, inside the choice ladder)
+        means = jax.random.normal(k[0], (n, 3)) * 0.02
+        means = means.at[:, 2].set(3.0 + means[:, 2])
+        covs = jnp.broadcast_to(jnp.eye(3) * 0.15**2, (n, 3, 3))
+        sh = jax.random.normal(k[1], (n, 3, 1)) * 0.3
+        opac = jnp.full((n,), 0.9)
+        base = RasterizeConfig(tile_px=8, dup_hw=(2, 2), max_per_tile=64,
+                               chunk=32, tile_group=16)
+        cfg = select_raster_config(
+            means, covs, sh, opac, jnp.eye(4), CAM["intrinsics"][0],
+            (64, 64), 0, base=base,
+        )
+        assert max(cfg.dup_hw) > 2
+        assert cfg.max_per_tile > 64
+        # escalated caps render closer to the oracle than the base caps
+        c_base, _, _ = render(
+            means, covs, sh, opac, CAM["extrinsics"], CAM["intrinsics"],
+            (64, 64), BG, 0, cfg=base)
+        c_sel, _, _ = render(
+            means, covs, sh, opac, CAM["extrinsics"], CAM["intrinsics"],
+            (64, 64), BG, 0, cfg=cfg)
+        c_ref, _, _ = render_view_bruteforce(
+            means, covs, sh, opac, jnp.eye(4), CAM["intrinsics"][0],
+            (64, 64), BG, 0)
+        err_base = float(jnp.abs(c_base[0] - c_ref).mean())
+        err_sel = float(jnp.abs(c_sel[0] - c_ref).mean())
+        assert err_sel <= err_base
+        assert err_sel < 2e-3

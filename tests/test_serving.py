@@ -180,3 +180,74 @@ class TestViewMesh:
         assert got.color.shape == ref.color.shape
         np.testing.assert_allclose(
             np.asarray(ref.color), np.asarray(got.color), atol=1e-5)
+
+
+class TestAdaptiveCaps:
+    def test_render_selects_and_caches_scene_caps(self):
+        """adaptive_caps=True: the first render probes the scene and pins a
+        RasterizeConfig on the SceneBatch; renders stay finite and correct
+        shape; repeated renders reuse the cached selection (one recompile
+        per distinct config, not per call)."""
+        cfg = tiny_cfg()
+        eng = InferenceEngine(cfg, dtype=jnp.float32, adaptive_caps=True)
+        images, K = _inputs()
+        scene = eng.reconstruct(images, K)
+        assert scene.raster_cfg is None
+        ext = jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4))
+        out = eng.render(scene, ext, K[:, :2], (32, 32))
+        assert scene.raster_cfg is not None
+        assert out.color.shape == (1, 2, 32, 32, 3)
+        assert bool(jnp.isfinite(out.color).all())
+        sel1 = scene.raster_cfg
+        eng.render(scene, ext, K[:, :2], (32, 32))
+        assert scene.raster_cfg is sel1  # probe ran once per scene
+
+    def test_dense_scene_flips_to_larger_config(self):
+        """A dense SceneBatch (fat overlapping splats) escalates the caps
+        while a sparse one keeps the base — the adaptive escape hatch the
+        static caps need (reference rasterizer is unbounded)."""
+        import dataclasses as dc
+
+        from vicasplat_tpu.models.adapter import Gaussians
+        from vicasplat_tpu.ops.rasterize import RasterizeConfig
+        from vicasplat_tpu.serving import SceneBatch
+
+        cfg = tiny_cfg()
+        base = RasterizeConfig(tile_px=8, dup_hw=(2, 2), max_per_tile=64,
+                               chunk=32, tile_group=16)
+        eng = InferenceEngine(
+            cfg, dtype=jnp.float32, adaptive_caps=True,
+            decoder=dc.replace(InferenceEngine(cfg).dec_cfg, rasterize=base))
+        k = jax.random.split(jax.random.PRNGKey(3), 3)
+        n = 300
+        means = (jax.random.normal(k[0], (1, n, 3)) * 0.02
+                 + jnp.array([0.0, 0.0, 3.0]))
+        g = Gaussians(
+            means=means, covariances=None,
+            harmonics=jax.random.normal(k[1], (1, n, 3, 1)) * 0.3,
+            opacities=jnp.full((1, n), 0.9),
+            scales=jnp.full((1, n, 3), 0.15),
+            rotations=jnp.broadcast_to(
+                jnp.array([1.0, 0.0, 0.0, 0.0]), (1, n, 4)),
+        )
+        ext = jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4))
+        K = jnp.broadcast_to(
+            jnp.array([[1.2, 0.0, 0.5], [0.0, 1.2, 0.5], [0.0, 0.0, 1.0]]),
+            (1, 1, 3, 3))
+        dense = SceneBatch(gaussians=g, poses=ext, intrinsics=K)
+        eng.render(dense, ext, K, (64, 64))
+        assert max(dense.raster_cfg.dup_hw) > 2
+        assert dense.raster_cfg.max_per_tile > 64
+
+        # genuinely sparse: tiny splats SPREAD across the image plane (the
+        # first attempt only spread them in depth — they all projected into
+        # the center tile and K correctly escalated)
+        sp = jax.random.uniform(k[2], (1, n, 2), minval=-1.2, maxval=1.2)
+        sparse_means = jnp.concatenate(
+            [sp * g.means[..., 2:3], g.means[..., 2:3]], axis=-1)
+        sparse_g = g._replace(scales=jnp.full((1, n, 3), 0.01),
+                              means=sparse_means)
+        sparse = SceneBatch(gaussians=sparse_g, poses=ext, intrinsics=K)
+        eng.render(sparse, ext, K, (64, 64))
+        assert sparse.raster_cfg.dup_hw == (2, 2)
+        assert sparse.raster_cfg.max_per_tile == 64

@@ -1,1 +1,6 @@
-from .render import RasterizeConfig, render  # noqa: F401
+from .render import (  # noqa: F401
+    RasterizeConfig,
+    coverage_stats,
+    render,
+    select_raster_config,
+)

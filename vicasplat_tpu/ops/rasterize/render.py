@@ -146,6 +146,75 @@ def coverage_stats(
     }
 
 
+def select_raster_config(
+    means: jnp.ndarray,
+    covariances: jnp.ndarray,
+    harmonics: jnp.ndarray,
+    opacities: jnp.ndarray,
+    viewmat: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    image_shape: tuple,
+    sh_degree: int,
+    base: RasterizeConfig = RasterizeConfig(),
+    dup_choices: tuple = (2, 3, 4, 6),
+    k_choices: tuple = (256, 512, 1024, 2048),
+    coverage_q: float = 0.99,
+    headroom: float = 1.1,
+) -> RasterizeConfig:
+    """Choose scene-adaptive static caps (dup_hw, max_per_tile).
+
+    The CUDA reference has no caps — per-tile lists are unbounded
+    (reference src/model/decoder/cuda_splatting.py:148-239, atomics in the
+    external rasterizer). A TPU kernel needs static shapes, so instead the
+    caps ESCALATE per scene: probe one view (projection + one binning pass
+    at the largest candidate caps), then pick the smallest `dup_hw` whose
+    window covers the `coverage_q` quantile of live splats' tile spans and
+    the smallest `max_per_tile` above the `coverage_q` occupancy quantile
+    (x `headroom`). Shape-cached consumers (serving.InferenceEngine with
+    adaptive_caps=True) recompile once per selected config. Thresholds are
+    backed by the caps-vs-bruteforce error table
+    (outputs/rasterizer_caps/caps_study_synthetic.json).
+    """
+    from .tiles import bin_splats
+
+    dup_max = max(dup_choices)
+    k_max = max(k_choices)
+
+    def probe():
+        splats = project_gaussians(
+            means, covariances, harmonics, opacities, viewmat, intrinsics,
+            image_shape, sh_degree,
+        )
+        live = splats.radius > 0
+        tiles_w = 2.0 * splats.radius / base.tile_px + 1.0
+        # quantile over LIVE splats only: dead ones (radius 0) span 1 tile
+        # and would dilute the tail the window must cover
+        span_sorted = jnp.sort(jnp.where(live, tiles_w, 0.0))
+        n_live = jnp.maximum(live.sum(), 1)
+        n = span_sorted.shape[0]
+        q_idx = jnp.clip(
+            n - n_live + (coverage_q * (n_live - 1)).astype(jnp.int32), 0,
+            n - 1,
+        )
+        span_q = span_sorted[q_idx]
+        bins = bin_splats(splats, image_shape, base.tile_px,
+                          (dup_max, dup_max), k_max, packed_gather=False)
+        occ = (bins.payload[..., 5] > 0).sum(axis=1)
+        occ_q = jnp.quantile(occ.astype(jnp.float32), coverage_q)
+        return span_q, occ_q
+
+    span_q, occ_q = jax.jit(probe)()
+    span_q, occ_q = float(span_q), float(occ_q)
+    dup = max(base.dup_hw)
+    if span_q > dup:  # escalate only when the base window truncates
+        dup = next((d for d in sorted(dup_choices) if d >= span_q), dup_max)
+    k = base.max_per_tile
+    k_need = occ_q * headroom
+    if k_need > k:  # escalate only when the base K overflows
+        k = next((c for c in sorted(k_choices) if c >= k_need), k_max)
+    return dataclasses.replace(base, dup_hw=(dup, dup), max_per_tile=k)
+
+
 def render(
     means: jnp.ndarray,         # (N, 3)
     covariances: jnp.ndarray,   # (N, 3, 3)

@@ -44,6 +44,11 @@ class SceneBatch:
     gaussians: object            # models.adapter.Gaussians, (B, T, H, W, ...)
     poses: jnp.ndarray           # (B, T, 4, 4) c2w, frame 0 = identity
     intrinsics: Optional[jnp.ndarray]  # (B, T, 3, 3) when predicted
+    # scene-adaptive rasterizer caps, filled on first render when the
+    # engine runs with adaptive_caps=True (ops/rasterize/
+    # select_raster_config — the escape hatch for dense scenes that
+    # overflow the default dup_hw/max_per_tile static caps)
+    raster_cfg: Optional[object] = None
 
 
 class InferenceEngine:
@@ -53,7 +58,8 @@ class InferenceEngine:
                  dtype=jnp.bfloat16,
                  decoder: DecoderSplattingConfig = DecoderSplattingConfig(),
                  view_mesh=None, quantize: bool = False,
-                 quantize_min_size: Optional[int] = None):
+                 quantize_min_size: Optional[int] = None,
+                 adaptive_caps: bool = False):
         """view_mesh: optional jax.sharding.Mesh — trajectory renders then
         shard the view axis over it (parallel/view_parallel.py); one
         reconstructed scene's Gaussians replicate over ICI and each device
@@ -67,6 +73,7 @@ class InferenceEngine:
         self.dec_cfg = decoder
         self.dtype = dtype
         self.view_mesh = view_mesh
+        self.adaptive_caps = adaptive_caps
         if params is None:
             if ckpt is not None:
                 from .utils.checkpointing import load_weights
@@ -107,26 +114,51 @@ class InferenceEngine:
     def _reconstruct_fn(self, shape):
         return jax.jit(self._reconstruct_raw())
 
-    def _render_raw(self, image_shape):
+    def _render_raw(self, image_shape, raster_cfg=None):
         """The un-jitted render program for a static output resolution."""
+        dec_cfg = (self.dec_cfg if raster_cfg is None else
+                   dataclasses.replace(self.dec_cfg, rasterize=raster_cfg))
+
         def fn(params_unused, gaussians, extrinsics, intrinsics, near, far):
             if self.view_mesh is not None:
                 from .parallel.view_parallel import decoder_forward_view_sharded
 
                 return decoder_forward_view_sharded(
-                    self.dec_cfg, gaussians, extrinsics, intrinsics, near,
+                    dec_cfg, gaussians, extrinsics, intrinsics, near,
                     far, image_shape, mesh=self.view_mesh,
                 )
             return decoder_forward(
-                self.dec_cfg, gaussians, extrinsics, intrinsics, near, far,
+                dec_cfg, gaussians, extrinsics, intrinsics, near, far,
                 image_shape,
             )
 
         return fn
 
     @functools.lru_cache(maxsize=8)
-    def _render_fn(self, vshape, image_shape):
-        return jax.jit(self._render_raw(image_shape))
+    def _render_fn(self, vshape, image_shape, raster_cfg=None):
+        return jax.jit(self._render_raw(image_shape, raster_cfg))
+
+    def _select_caps(self, scene: SceneBatch, extrinsics, intrinsics,
+                     image_shape):
+        """Scene-level adaptive caps: probe the first view once, cache on
+        the SceneBatch (shape-cached recompile per distinct selection)."""
+        from .decoder.splatting import flatten_gaussians
+        from .geometry.se3 import rigid_inverse
+        from .models.adapter import build_covariance
+        from .ops.rasterize.render import select_raster_config
+
+        g = scene.gaussians
+        if g.means.ndim > 3:
+            g = flatten_gaussians(g)
+        cov = (g.covariances if g.covariances is not None
+               else build_covariance(g.scales, g.rotations))
+        sh_degree = int(round(g.harmonics.shape[-1] ** 0.5)) - 1
+        return select_raster_config(
+            g.means[0], cov[0], g.harmonics[0], g.opacities[0],
+            rigid_inverse(jnp.asarray(extrinsics[0, 0], jnp.float32)),
+            jnp.asarray(intrinsics[0, 0], jnp.float32), tuple(image_shape),
+            sh_degree, base=self.dec_cfg.rasterize,
+        )
 
     # ---- public API ----
 
@@ -144,7 +176,13 @@ class InferenceEngine:
         extrinsics = jnp.asarray(extrinsics, jnp.float32)
         intrinsics = jnp.asarray(intrinsics, jnp.float32)
         B, V = extrinsics.shape[:2]
-        out = self._render_fn(extrinsics.shape, tuple(image_shape))(
+        rcfg = None
+        if self.adaptive_caps:
+            if scene.raster_cfg is None:
+                scene.raster_cfg = self._select_caps(
+                    scene, extrinsics, intrinsics, image_shape)
+            rcfg = scene.raster_cfg
+        out = self._render_fn(extrinsics.shape, tuple(image_shape), rcfg)(
             None, scene.gaussians, extrinsics, intrinsics,
             jnp.full((B, V), near), jnp.full((B, V), far))
         return out

@@ -114,6 +114,20 @@ class TestImageMetrics:
         noisy = jnp.clip(img + 0.3 * jax.random.normal(jax.random.PRNGKey(1), img.shape), 0, 1)
         assert float(compute_ssim(img, noisy)) < 0.9
 
+    def test_ssim_bounded_on_flat_regions(self):
+        """Regression: near-constant regions + SAME-padding borders used to
+        produce out-of-range per-frame SSIM (1.12 / -112 observed on real
+        scenes). The map must stay in [-1, 1] for any input pair."""
+        import jax
+        key = jax.random.PRNGKey(2)
+        a = jnp.zeros((1, 32, 32, 3)).at[:, 12:20, 12:20, :].set(1.0)
+        b = jnp.clip(
+            a + 0.02 * jax.random.normal(key, a.shape)
+            - a * jax.random.uniform(jax.random.PRNGKey(3), a.shape), 0, 1)
+        for x, y in [(a, b), (a, jnp.zeros_like(a)), (a, 1.0 - a)]:
+            v = float(compute_ssim(x, y))
+            assert -1.0 <= v <= 1.0, v
+
 
 class TestLpipsGraph:
     def _synthetic_params(self, key):

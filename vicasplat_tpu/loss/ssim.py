@@ -38,19 +38,33 @@ def ssim(
     c1: float = 0.01**2,
     c2: float = 0.03**2,
 ) -> jnp.ndarray:
-    """Mean SSIM over all pixels/channels. Leading dims are flattened."""
+    """Mean SSIM over all pixels/channels. Leading dims are flattened.
+
+    The reference (src/loss/loss_ssim.py) filters without padding, so its
+    map covers only the valid interior. We filter SAME and crop the
+    window_size//2 margin before reducing: under SAME padding the border
+    "moments" are computed against an un-renormalized partial window, so
+    E[x^2]-mu^2 there is not a variance — denominators can go ~0/negative
+    and the map blows up (observed per-frame "SSIM" of 1.12 and -112 on
+    real scenes before the crop). Variances are additionally clamped at 0
+    and sigma_xy Cauchy-Schwarz-bounded for numerical safety.
+    """
     orig_shape = img1.shape
     h, w, c = orig_shape[-3:]
     x = img1.reshape(-1, h, w, c).astype(jnp.float32)
     y = img2.reshape(-1, h, w, c).astype(jnp.float32)
     k = _gaussian_kernel(window_size, sigma)
 
-    mu_x = _filter2d_separable(x, k)
-    mu_y = _filter2d_separable(y, k)
+    m = window_size // 2
+    crop = lambda t: t[:, m : h - m, m : w - m, :]  # noqa: E731
+    mu_x = crop(_filter2d_separable(x, k))
+    mu_y = crop(_filter2d_separable(y, k))
     mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
-    sigma_x = _filter2d_separable(x * x, k) - mu_x2
-    sigma_y = _filter2d_separable(y * y, k) - mu_y2
-    sigma_xy = _filter2d_separable(x * y, k) - mu_xy
+    sigma_x = jnp.maximum(crop(_filter2d_separable(x * x, k)) - mu_x2, 0.0)
+    sigma_y = jnp.maximum(crop(_filter2d_separable(y * y, k)) - mu_y2, 0.0)
+    sigma_xy = crop(_filter2d_separable(x * y, k)) - mu_xy
+    bound = jnp.sqrt(sigma_x * sigma_y)
+    sigma_xy = jnp.clip(sigma_xy, -bound, bound)
 
     ssim_map = ((2 * mu_xy + c1) * (2 * sigma_xy + c2)) / (
         (mu_x2 + mu_y2 + c1) * (sigma_x + sigma_y + c2)

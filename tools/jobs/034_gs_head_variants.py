@@ -72,7 +72,7 @@ def conv1_std(p, x):
 
 
 def conv1_im2col(p, x):
-    return jax.nn.relu(conv2d_im2col(p["head"]["conv1"], x, dtype=dt))
+    return jax.nn.relu(conv2d_im2col(p["head"]["conv1"], x, 3, dtype=dt))
 
 
 def conv1_1x1(p, x):

@@ -539,6 +539,9 @@ def composite_tiles(
     tw = -(-W // tile_px)
     num_tiles = th * tw
     pix = _tile_pixel_centers(image_shape, tile_px)
+    # small max_per_tile (adaptive caps can pick K=128 < the default
+    # chunk=256): composite in one chunk instead of asserting
+    chunk = min(chunk, bins.payload.shape[1])
 
     # clamp the grouping to a divisor of the tile count (small images have
     # fewer tiles than the default group size)

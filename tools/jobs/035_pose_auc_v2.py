@@ -1,0 +1,97 @@
+"""Pose-AUC proof, attempt 2 (VERDICT r3 #2; follow-up to job 032).
+
+Job 032 diagnosis (tools/diag_pose_auc.py on the 4k-step ckpt): rotation IS
+learned (per-pair rot errors mean 6.6 deg, 100% < 30) but translation
+DIRECTION is chance (mean 85 deg) — AUC takes max(rot, trans) so it stays
+0. Supervision is correct (dq dual part carries t, GT baselines O(1) with
+real parallax); the model is simply under-trained on the harder signal.
+
+This run: 4x longer (16k steps) + camera weight 0.5 -> 2.0. Evaluates the
+held-out scenes as before AND dumps the per-pair rot/trans error
+distributions so partial progress is visible even if auc@30 stays 0.
+Artifacts -> outputs/tpu_pose_proof/v2_synthetic/ (overwrites the trained
+half; the committed random_baseline stays the chance reference).
+"""
+import sys
+for m in [k for k in sys.modules if k.startswith("vicasplat_tpu") or k in ("benchlib",)]:
+    del sys.modules[m]
+sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, "/root/repo")
+
+import json
+import pathlib
+
+import jax
+import numpy as np
+
+from vicasplat_tpu.utils.config import load_config
+from vicasplat_tpu.main import train
+from vicasplat_tpu.data import DataModule
+from vicasplat_tpu.evaluation.pose_evaluator import PoseEvalConfig, PoseEvaluator
+from vicasplat_tpu.models import init_vicasplat
+
+cfg = load_config(
+    "/root/repo/configs/main.yaml", experiment="synthetic_pose",
+    overrides=[
+        "loss.camera.weight=2.0",
+        "optimizer.max_steps=16000",
+        "trainer.max_steps=16000",
+        "checkpointing.every_n_train_steps=4000",
+        "checkpointing.output_dir=outputs/synthetic_pose/ckpts_v2",
+        "output_dir=outputs/synthetic_pose_v2",
+        "test.output_path=outputs/synthetic_pose_v2/eval",
+    ])
+
+out_root = pathlib.Path("/root/repo/outputs/tpu_pose_proof/v2_synthetic")
+out_root.mkdir(parents=True, exist_ok=True)
+
+
+def eval_pose(params, tag):
+    ev = PoseEvaluator(
+        params, cfg.encoder, cfg.decoder,
+        PoseEvalConfig(output_path=str(out_root / tag)),
+    )
+    dm = DataModule(cfg.dataset, cfg.data_loader, None)
+    loader = dm.test_dataloader()
+    for i, batch in enumerate(loader):
+        r = ev.evaluate_batch(batch)
+        print(f"[{tag} {i}] {r['scene']}: ate={r['ate']:.4f} "
+              f"rpe_r={r['rpe_rot']:.3f}", flush=True)
+    loader.close()
+    ev.dump()
+    s = ev.summary()
+    rot = np.asarray(ev.metrics["rot_err_deg"])
+    trans = np.asarray(ev.metrics["trans_err_deg"])
+    s["rot_err_mean_deg"] = float(rot.mean())
+    s["rot_err_frac_lt30"] = float((rot < 30).mean())
+    s["trans_err_mean_deg"] = float(trans.mean())
+    s["trans_err_frac_lt30"] = float((trans < 30).mean())
+    print(f"{tag} summary:", {k: round(v, 4) for k, v in s.items()},
+          flush=True)
+    return s
+
+
+train(cfg)
+
+from vicasplat_tpu.utils.checkpointing import CheckpointManager, load_weights
+
+ckpt_dir = pathlib.Path("/root/repo") / cfg.checkpointing.output_dir
+latest = CheckpointManager(str(ckpt_dir), keep=5).latest()
+print("loading trained ckpt:", latest, flush=True)
+params = load_weights(
+    str(latest), template=init_vicasplat(jax.random.PRNGKey(0), cfg.encoder))
+trained = eval_pose(params, "trained")
+
+summary_path = out_root / "summary.json"
+prev = json.loads(summary_path.read_text()) if summary_path.exists() else {}
+prev.update({
+    "trained": trained,
+    "n_test_scenes": 8,
+    "config": "configs/experiment/synthetic_pose.yaml "
+              "+ loss.camera.weight=2.0 + 16k steps (job 035)",
+    "diagnosis_032": "4k steps: rot learned (6.6 deg mean), trans dir "
+                     "chance (85 deg) — see tools/diag_pose_auc.py",
+})
+with open(summary_path, "w") as f:
+    json.dump(prev, f, indent=2)
+print("auc@30 trained:", trained.get("auc@30"), flush=True)

@@ -52,6 +52,19 @@ class TestTiledVsBruteForce:
         np.testing.assert_allclose(alpha[0], a_ref, atol=2e-3)
         np.testing.assert_allclose(depth[0], d_ref, atol=2e-2)
 
+    def test_max_per_tile_below_chunk(self):
+        # adaptive caps can pick max_per_tile smaller than the compositing
+        # chunk; composite_tiles must clamp the chunk, not assert
+        means, covs, sh, opac = make_scene(jax.random.PRNGKey(0))
+        kw = dict(tile_px=8, dup_hw=(4, 4), tile_group=16)
+        small = RasterizeConfig(max_per_tile=32, chunk=64, **kw)
+        ref = RasterizeConfig(max_per_tile=32, chunk=32, **kw)
+        a = render(means, covs, sh, opac, CAM["extrinsics"],
+                   CAM["intrinsics"], (32, 32), BG, sh_degree=0, cfg=small)
+        b = render(means, covs, sh, opac, CAM["extrinsics"],
+                   CAM["intrinsics"], (32, 32), BG, sh_degree=0, cfg=ref)
+        np.testing.assert_allclose(a[0], b[0], atol=1e-5)
+
     def test_background_fill(self):
         means, covs, sh, opac = make_scene(jax.random.PRNGKey(1), n=4)
         bg = jnp.array([0.2, 0.4, 0.6])

@@ -1,0 +1,95 @@
+"""Extend the real-scene caps study to the adaptive selector's pick
+(dup 3, K=2048) — job 033b measured only to K=1024 (28-29 dB vs oracle,
+72% of tiles still overflowing). This appends (dup 3, K in {1536, 2048})
+rows to outputs/rasterizer_caps/caps_study_real_scene.json so the record
+shows the escape hatch actually closing the gap and its honest cost.
+"""
+import sys
+for m in [k for k in sys.modules if k.startswith("vicasplat_tpu") or k in ("benchlib",)]:
+    del sys.modules[m]
+sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, "/root/repo")
+
+import json
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from benchlib import device_time, sync
+
+from vicasplat_tpu.geometry.se3 import rigid_inverse
+from vicasplat_tpu.ops.rasterize.render import (
+    RasterizeConfig, coverage_stats, render,
+)
+from vicasplat_tpu.ops.rasterize.reference import render_view_bruteforce_chunked
+
+scene = "6c99592614256138"
+z = np.load(f"/root/repo/outputs/real_scene_overfit/{scene}_holdout/"
+            "gaussians_full.npz")
+from vicasplat_tpu.models.adapter import build_covariance
+
+means = jnp.asarray(z["means"].reshape(-1, 3))
+scales = jnp.asarray(z["scales"].reshape(-1, 3))
+rot = jnp.asarray(z["rotations"].reshape(-1, 4))
+sh = jnp.asarray(z["harmonics"].reshape(-1, 3, 9))
+opac = jnp.asarray(z["opacities"].reshape(-1))
+cov = build_covariance(scales, rot)
+N = means.shape[0]
+
+H = W = 128
+views = [2, 5, 0]
+ext = jnp.asarray(z["extrinsics"][views])
+Kmat = jnp.asarray(z["intrinsics"])
+Ks = jnp.broadcast_to(Kmat, (len(views), 3, 3))
+bg = jnp.zeros(3)
+DEG = 2
+print(f"scene {scene}: N={N}, {H}x{W}, views {views}", flush=True)
+
+oracle = []
+for v in range(len(views)):
+    vm = rigid_inverse(ext[v])
+    c, d, a = jax.jit(
+        lambda vm: render_view_bruteforce_chunked(
+            means, cov, sh, opac, vm, Kmat, (H, W), bg, DEG, px_chunk=256)
+    )(vm)
+    sync(c)
+    oracle.append(np.asarray(c))
+    print(f"oracle view {views[v]} done", flush=True)
+oracle = np.stack(oracle)
+
+path = pathlib.Path("/root/repo/outputs/rasterizer_caps/"
+                    "caps_study_real_scene.json")
+data = json.loads(path.read_text())
+
+for dup, K_ in ((3, 1536), (3, 2048)):
+    cfg = RasterizeConfig(dup_hw=(dup, dup), max_per_tile=K_)
+    c, d, a = jax.jit(
+        lambda e, Km: render(means, cov, sh, opac, e, Km, (H, W), bg,
+                             DEG, cfg=cfg)
+    )(ext, Ks)
+    sync(c)
+    err = np.asarray(c) - oracle
+    mse = float(np.mean(err ** 2))
+    psnr = float(-10 * np.log10(max(mse, 1e-12)))
+    t = device_time(
+        lambda m: render(m, cov, sh, opac, ext, Ks, (H, W), bg, DEG,
+                         cfg=cfg), means, iters=10, base=2)
+    stats = jax.jit(
+        lambda vm: coverage_stats(means, cov, sh, opac, vm, Kmat,
+                                  (H, W), DEG, cfg=cfg)
+    )(rigid_inverse(ext[0]))
+    row = {
+        "dup_hw": dup, "K": K_,
+        "psnr_vs_oracle": round(psnr, 2),
+        "max_abs_err": round(float(np.abs(err).max()), 5),
+        "ms_per_view": round(t / len(views) * 1e3, 3),
+        "truncated_frac": round(float(stats["truncated_frac"]), 4),
+        "tile_overflow_frac": round(float(stats["tile_overflow_frac"]), 4),
+        "tile_occupancy_mean": round(float(stats["tile_occupancy_mean"]), 1),
+    }
+    data["results"].append(row)
+    print(row, flush=True)
+
+path.write_text(json.dumps(data, indent=2))
+print("appended to", path, flush=True)

@@ -46,6 +46,31 @@ class TestFusedDptTail:
         scale = np.abs(want).max()
         assert np.abs(got - want).max() < 0.05 * scale
 
+    def test_gs_head_backend_parity(self):
+        # the gated path in dpt_gs_head (tail_backend="pallas") matches the
+        # XLA default bit-for-semantics on the same params
+        import dataclasses
+
+        from vicasplat_tpu.models.heads import (
+            DPTConfig, dpt_gs_head, init_dpt,
+        )
+
+        cfg_x = DPTConfig(hook_dims=(64, 64, 64, 64),
+                          layer_dims=(24, 48, 96, 192), feature_dim=128,
+                          head_type="gs_params", num_channels=82,
+                          use_input_merger=True)
+        cfg_p = dataclasses.replace(cfg_x, tail_backend="pallas")
+        key = jax.random.PRNGKey(0)
+        p = init_dpt(key, cfg_x)
+        gh = 4
+        hooks = [jax.random.normal(k, (2, gh * gh, 64))
+                 for k in jax.random.split(key, 4)]
+        imgs = jax.random.normal(key, (2, 16 * gh, 16 * gh, 3))
+        a = dpt_gs_head(p, cfg_x, hooks, (gh, gh), imgs, jnp.float32)
+        b = dpt_gs_head(p, cfg_p, hooks, (gh, gh), imgs, jnp.float32)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
+
     def test_gradients_via_xla_backward(self):
         args = _inputs(jax.random.PRNGKey(3), N=1, H=16, W=16)
 

@@ -39,6 +39,11 @@ class DPTConfig:
     head_type: str = "regression"  # or "gs_params"
     # gs head extras
     use_input_merger: bool = False
+    # full-res tail backend: "xla" | "pallas" | "auto" (pallas on
+    # accelerators). The fused kernel (ops/dpt_tail.py) computes
+    # add+conv1+relu+conv2 in row bands without materializing the 268 MB
+    # full-res activations; exact same math (f32-accumulated).
+    tail_backend: str = "xla"
 
 
 # ---------------------------------------------------------------------------
@@ -188,6 +193,30 @@ def dpt_gs_head(params, cfg: DPTConfig, hook_tokens, grid_hw, images, dtype):
                 s=4, dtype=dtype,
             )
         )
+        backend = cfg.tail_backend
+        if backend == "auto":
+            backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+        if backend == "pallas" and (
+            p1.shape[1] % 8 or p1.shape[-1] % 128
+        ):
+            backend = "xla"  # odd sizes (portrait/rect crops) use XLA
+        if backend == "pallas":
+            from ..ops.dpt_tail import fused_dpt_tail
+
+            c = p1.shape[-1]
+            o = cfg.num_channels
+            o_pad = -(-o // 128) * 128
+            w2 = params["head"]["conv2"]["w"][0, 0]  # (C, O) from (1,1,C,O)
+            w2p = jnp.zeros((c, o_pad), p1.dtype).at[:, :o].set(
+                w2.astype(p1.dtype))
+            b2p = jnp.zeros((1, o_pad), p1.dtype)
+            if "b" in params["head"]["conv2"]:
+                b2p = b2p.at[0, :o].set(
+                    params["head"]["conv2"]["b"].astype(p1.dtype))
+            out = fused_dpt_tail(
+                p1, direct,
+                params["head"]["conv1"]["w"].astype(p1.dtype), w2p, b2p, 8)
+            return out[..., :o]
         p1 = p1 + direct
     h = conv2d(params["head"]["conv1"], p1, dtype=dtype)
     h = jax.nn.relu(h)

@@ -54,6 +54,7 @@ if b2 is not None:
 a_in = jax.random.normal(ks[7], (BT, size, size, C), dt)
 m_in = jax.nn.relu(jax.random.normal(ks[1], (BT, size, size, C), dt))
 w1 = gs_p["head"]["conv1"]["w"]
+b1p = jnp.zeros((1, C), dt)
 
 
 def tm(name, fn, *args, iters=20):
@@ -64,17 +65,18 @@ def tm(name, fn, *args, iters=20):
 
 # correctness on chip first
 got = np.asarray(
-    jax.jit(lambda *a: fused_dpt_tail(*a, 8))(a_in, m_in, w1, w2p, b2p),
+    jax.jit(lambda *a: fused_dpt_tail(*a, 8))(a_in, m_in, w1, b1p, w2p, b2p),
     np.float32)
-want = np.asarray(jax.jit(_xla_tail)(a_in, m_in, w1, w2p, b2p), np.float32)
+want = np.asarray(jax.jit(_xla_tail)(a_in, m_in, w1, b1p, w2p, b2p),
+                  np.float32)
 print("tail maxdiff vs xla:", float(np.abs(got - want).max()),
       "scale:", float(np.abs(want).max()), flush=True)
 
-tm("tail xla (isolated)", _xla_tail, a_in, m_in, w1, w2p, b2p)
+tm("tail xla (isolated)", _xla_tail, a_in, m_in, w1, b1p, w2p, b2p)
 for bh in (4, 8, 16):
     tm(f"tail fused bh={bh} (isolated)",
        lambda a, *r, _bh=bh: fused_dpt_tail(a, *r, _bh),
-       a_in, m_in, w1, w2p, b2p)
+       a_in, m_in, w1, b1p, w2p, b2p)
 
 
 def head_xla(st, p):
@@ -96,7 +98,8 @@ def head_fused(st, p, bh=8):
     b2_ = jnp.zeros((1, O_pad), dt)
     if "b" in p["head"]["conv2"]:
         b2_ = b2_.at[0, :n_gs].set(p["head"]["conv2"]["b"])
-    out = fused_dpt_tail(p1, mm, p["head"]["conv1"]["w"], w2_, b2_, bh)
+    out = fused_dpt_tail(p1, mm, p["head"]["conv1"]["w"],
+                         jnp.zeros((1, C), dt), w2_, b2_, bh)
     return out[..., :n_gs]
 
 

@@ -167,6 +167,30 @@ def dpt_regression_head(params, cfg: DPTConfig, hook_tokens, grid_hw, dtype):
     h = conv2d(params["head"]["conv1"], p1, dtype=dtype)
     n, hh, ww, c = h.shape
     h = resize_bilinear_align_corners(h, (2 * hh, 2 * ww))
+    backend = cfg.tail_backend
+    if backend == "auto":
+        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+    f = params["head"]["conv2"]["w"].shape[-1]
+    if backend == "pallas" and not (
+        h.shape[1] % 8 or h.shape[-1] % 128 or f % 128
+    ):
+        from ..ops.dpt_tail import fused_dpt_tail
+
+        o = cfg.num_channels
+        o_pad = -(-o // 128) * 128
+        w2 = params["head"]["conv3"]["w"][0, 0]
+        w2p = jnp.zeros((f, o_pad), h.dtype).at[:, :o].set(w2.astype(h.dtype))
+        b2p = jnp.zeros((1, o_pad), h.dtype)
+        if "b" in params["head"]["conv3"]:
+            b2p = b2p.at[0, :o].set(
+                params["head"]["conv3"]["b"].astype(h.dtype))
+        b1 = params["head"]["conv2"].get("b")
+        b1p = (jnp.zeros((1, f), h.dtype) if b1 is None
+               else b1[None].astype(h.dtype))
+        out = fused_dpt_tail(
+            h, None, params["head"]["conv2"]["w"].astype(h.dtype), b1p,
+            w2p, b2p, 8)
+        return out[..., :o]
     h = conv2d(params["head"]["conv2"], h, dtype=dtype)
     h = jax.nn.relu(h)
     return conv2d(params["head"]["conv3"], h, dtype=dtype)
@@ -213,9 +237,13 @@ def dpt_gs_head(params, cfg: DPTConfig, hook_tokens, grid_hw, images, dtype):
             if "b" in params["head"]["conv2"]:
                 b2p = b2p.at[0, :o].set(
                     params["head"]["conv2"]["b"].astype(p1.dtype))
+            b1 = params["head"]["conv1"].get("b")
+            b1p = (jnp.zeros((1, c), p1.dtype) if b1 is None
+                   else b1[None].astype(p1.dtype))
             out = fused_dpt_tail(
                 p1, direct,
-                params["head"]["conv1"]["w"].astype(p1.dtype), w2p, b2p, 8)
+                params["head"]["conv1"]["w"].astype(p1.dtype), b1p,
+                w2p, b2p, 8)
             return out[..., :o]
         p1 = p1 + direct
     h = conv2d(params["head"]["conv1"], p1, dtype=dtype)

@@ -60,6 +60,9 @@ class VicaSplatConfig:
     # postprocess.py 'exp' mode vmin/vmax). Default is the released-config
     # no-op; finite bounds stabilize training from random init.
     pts3d_bounds: tuple = (0.0, float("inf"))
+    # DPT full-res tail backend: "xla" | "pallas" | "auto" (fused pallas
+    # kernel on accelerators — ops/dpt_tail.py)
+    head_tail_backend: str = "xla"
 
     @property
     def camera_extrinsic_channels(self) -> int:
@@ -215,6 +218,7 @@ def vicasplat_forward(
         num_channels=3 + (1 if cfg.predict_conf else 0),
         head_type="regression",
         patch_size=bb.patch_size,
+        tail_backend=cfg.head_tail_backend,
     )
     if cfg.gs_center_head_type == "dpt":
         center_out = dpt_regression_head(
@@ -263,6 +267,7 @@ def vicasplat_forward(
         head_type="gs_params",
         patch_size=bb.patch_size,
         use_input_merger=True,
+        tail_backend=cfg.head_tail_backend,
     )
     if cfg.gs_param_head_type in ("dpt", "dpt_gs"):
         gs_params_out = _head_out(dpt_gs_head(

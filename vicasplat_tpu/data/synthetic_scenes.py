@@ -41,6 +41,12 @@ class SyntheticScenesConfig:
     repeats: int = 1_000_000
     overfit_to_scene: Optional[str] = None
     cameras_are_circular: bool = False
+    # x-reflection augmentation at train time (shims.reflect_views — the
+    # reference's augmentation_shim): doubles effective scene diversity,
+    # which is what pose generalization is starved for (the 64-scene run
+    # memorized train trajectories exactly: trans err 0.27 deg train vs
+    # 81 deg test — tools/diag_pose_train_vs_test.py)
+    augment: bool = False
 
 
 def _look_at(eye: np.ndarray, center: np.ndarray, up: np.ndarray):
@@ -131,25 +137,44 @@ def intrinsics_for(cfg: SyntheticScenesConfig) -> np.ndarray:
     return np.array([[f, 0, 0.5], [0, f, 0.5], [0, 0, 1]], np.float32)
 
 
+_RENDER_JIT: dict = {}
+
+
 def render_scene_frames(gauss: dict, poses: np.ndarray, K: np.ndarray,
                         image_shape: tuple) -> np.ndarray:
-    """Golden frames from our own rasterizer, (T, H, W, 3) in [0, 1]."""
+    """Golden frames from our own rasterizer, (T, H, W, 3) in [0, 1].
+
+    The render is jitted once per (T, n, shape) — generating hundreds of
+    scenes (the pose-generalization recipe needs O(512)) with an eager
+    render would pay per-op dispatch overhead per scene (50-70 ms/dispatch
+    on the axon tunnel)."""
+    import jax
     import jax.numpy as jnp
 
     from ..models.adapter import build_covariance
     from ..ops.rasterize import RasterizeConfig, render
 
     T = poses.shape[0]
-    cov = build_covariance(jnp.asarray(gauss["scales"]),
-                           jnp.asarray(gauss["rotations"]))
-    color, _, _ = render(
-        jnp.asarray(gauss["means"]), cov, jnp.asarray(gauss["harmonics"]),
-        jnp.asarray(gauss["opacities"]), jnp.asarray(poses),
-        jnp.broadcast_to(jnp.asarray(K), (T, 3, 3)), tuple(image_shape),
-        jnp.zeros(3), 0,
-        cfg=RasterizeConfig(max_per_tile=256),
+    n = gauss["means"].shape[0]
+    key = (T, n, tuple(image_shape))
+    if key not in _RENDER_JIT:
+        cfg = RasterizeConfig(max_per_tile=256)
+
+        def _render(means, scales, rotations, harmonics, opacities, poses, K):
+            cov = build_covariance(scales, rotations)
+            color, _, _ = render(
+                means, cov, harmonics, opacities, poses,
+                jnp.broadcast_to(K, (T, 3, 3)), tuple(image_shape),
+                jnp.zeros(3), 0, cfg=cfg,
+            )
+            return jnp.clip(color, 0.0, 1.0)
+
+        _RENDER_JIT[key] = jax.jit(_render)
+    color = _RENDER_JIT[key](
+        gauss["means"], gauss["scales"], gauss["rotations"],
+        gauss["harmonics"], gauss["opacities"], poses, K,
     )
-    return np.clip(np.asarray(color), 0.0, 1.0)
+    return np.asarray(color)
 
 
 def generate_scene(scene_id: int, cfg: SyntheticScenesConfig) -> dict:
@@ -223,8 +248,13 @@ class DatasetSyntheticScenes:
                 "index": idx.astype(np.int64),
             }
 
-        return {"context": views(ctx_idx), "target": views(tgt_idx),
-                "scene": sc["scene"]}
+        example = {"context": views(ctx_idx), "target": views(tgt_idx),
+                   "scene": sc["scene"]}
+        if self.cfg.augment and self.stage == "train":
+            from .shims import apply_augmentation_shim
+
+            example = apply_augmentation_shim(example, self.rng)
+        return example
 
     def __iter__(self) -> Iterator[dict]:
         reps = self.cfg.repeats if self.stage == "train" else 1

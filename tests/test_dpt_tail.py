@@ -85,10 +85,12 @@ class TestFusedDptTail:
             DPTConfig, dpt_regression_head, init_dpt,
         )
 
+        # num_channels >= 64: below that the gate keeps XLA (lane-padding
+        # write amplification — heads.py) and the fused path wouldn't run
         cfg_x = DPTConfig(hook_dims=(64, 64, 64, 64),
                           layer_dims=(24, 48, 96, 192), feature_dim=256,
                           last_dim=128, head_type="regression",
-                          num_channels=4)
+                          num_channels=80)
         cfg_p = dataclasses.replace(cfg_x, tail_backend="pallas")
         key = jax.random.PRNGKey(1)
         p = init_dpt(key, cfg_x)

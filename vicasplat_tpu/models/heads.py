@@ -171,8 +171,13 @@ def dpt_regression_head(params, cfg: DPTConfig, hook_tokens, grid_hw, dtype):
     if backend == "auto":
         backend = "xla" if jax.default_backend() == "cpu" else "pallas"
     f = params["head"]["conv2"]["w"].shape[-1]
+    # the kernel writes o padded to the 128-lane width; tiny heads (the
+    # 3-4 channel pts3d regression) would write 32-43x the XLA bytes and
+    # measured 6 ms SLOWER in the flagship forward (job 039) — fuse only
+    # when the padding waste is bounded
     if backend == "pallas" and not (
         h.shape[1] % 8 or h.shape[-1] % 128 or f % 128
+        or cfg.num_channels < 64
     ):
         from ..ops.dpt_tail import fused_dpt_tail
 

@@ -47,7 +47,12 @@ class SceneBatch:
     # scene-adaptive rasterizer caps, filled on first render when the
     # engine runs with adaptive_caps=True (ops/rasterize/
     # select_raster_config — the escape hatch for dense scenes that
-    # overflow the default dup_hw/max_per_tile static caps)
+    # overflow the default dup_hw/max_per_tile static caps). Use for
+    # checkpoints trained with an UNBOUNDED rasterizer (e.g. converted
+    # reference ckpts); checkpoints trained through our capped renderer
+    # compensate for the caps and render WORSE when they are raised
+    # (-6..-10 dB measured, DESIGN.md §1 cap-consistency) — keep the
+    # default off for those.
     raster_cfg: Optional[object] = None
 
 

@@ -59,7 +59,8 @@ def linear_w8a8(p: dict, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
     return y.astype(out_dtype)
 
 
-def quantize_tree(params, min_size: int = 1 << 14):
+def quantize_tree(params, min_size: int = 1 << 14, exclude: tuple = (),
+                  include_only: tuple = ()):
     """Quantize every linear-shaped {"w"} dict in a params pytree whose
     per-layer kernel (product of the last two dims) has at least `min_size`
     elements (small layers — heads, embeds of tiny models — stay float:
@@ -72,25 +73,58 @@ def quantize_tree(params, min_size: int = 1 << 14):
     (patch embed, DPT heads) are consumed by conv code that reads "w"
     directly and stay untouched.
 
+    `exclude`: path substrings (e.g. "camera_head") whose families stay
+    float — selective quantization recovers most of the task-space error
+    of sensitive layers at a small memory cost. `include_only`: if
+    non-empty, quantize ONLY families whose path matches (sensitivity
+    studies). Paths are "/"-joined dict keys.
+
     Returns (new_params, n_quantized).
     """
     n = 0
 
-    def walk(node):
+    def walk(node, path=""):
         nonlocal n
         if isinstance(node, dict):
             w = node.get("w")
             if (w is not None and getattr(w, "ndim", 0) in (2, 3)
                     and w.shape[-1] * w.shape[-2] >= min_size
                     and set(node) <= {"w", "b"}):
+                if any(e in path for e in exclude):
+                    return node
+                if include_only and not any(e in path for e in include_only):
+                    return node
                 n += 1
                 return quantize_linear(node)
-            return {k: walk(v) for k, v in node.items()}
+            return {k: walk(v, f"{path}/{k}") for k, v in node.items()}
         if isinstance(node, (list, tuple)):
-            return type(node)(walk(v) for v in node)
+            return type(node)(
+                walk(v, f"{path}/{i}") for i, v in enumerate(node))
         return node
 
     return walk(params), n
+
+
+def quantizable_paths(params, min_size: int = 1 << 14) -> list:
+    """Paths of the families quantize_tree would touch (study/reporting)."""
+    out = []
+
+    def walk(node, path=""):
+        if isinstance(node, dict):
+            w = node.get("w")
+            if (w is not None and getattr(w, "ndim", 0) in (2, 3)
+                    and w.shape[-1] * w.shape[-2] >= min_size
+                    and set(node) <= {"w", "b"}):
+                out.append(path)
+                return
+            for k, v in node.items():
+                walk(v, f"{path}/{k}")
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, f"{path}/{i}")
+
+    walk(params)
+    return out
 
 
 def cast_tree_preserving_quant(params, dtype):

@@ -94,3 +94,32 @@ class TestQuantizedEngine:
         m_q = np.asarray(out.gaussians.means).ravel()
         corr = np.corrcoef(m_ref, m_q)[0, 1]
         assert corr > 0.95, corr
+
+    def test_sensitive_families_stay_float_by_default(self):
+        """The engine's default excludes quant.SENSITIVE_PATHS (the
+        expm1-amplified center head: -2.0 dB alone vs -0.16 dB for all
+        other families together, job 043 sensitivity study)."""
+        def paths_with_int8(node, path=""):
+            if isinstance(node, dict):
+                if "w_q" in node:
+                    return [path]
+                return [p for k, v in node.items()
+                        for p in paths_with_int8(v, f"{path}/{k}")]
+            return []
+
+        import dataclasses
+
+        # linear heads: the trained-ckpt config where /center_head/proj is
+        # a quantizable linear (DPT heads are 4-D convs, never quantized)
+        cfg = dataclasses.replace(tiny_cfg(), gs_center_head_type="linear",
+                                  gs_param_head_type="linear")
+        eng = InferenceEngine(cfg, quantize=True, quantize_min_size=1)
+        qpaths = paths_with_int8(eng.params)
+        assert qpaths, "nothing quantized"
+        assert not any("/center_head/" in p for p in qpaths), qpaths
+        # explicit empty exclude restores the full sweep
+        eng_all = InferenceEngine(cfg, quantize=True, quantize_min_size=1,
+                                  quantize_exclude=())
+        all_paths = paths_with_int8(eng_all.params)
+        assert any("/center_head/" in p for p in all_paths)
+        assert eng_all.n_quantized > eng.n_quantized

@@ -59,6 +59,14 @@ def linear_w8a8(p: dict, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
     return y.astype(out_dtype)
 
 
+# Measured-sensitive families kept float by default (job 043,
+# outputs/int8_trained/sensitivity.json): /center_head/proj alone is
+# -2.01 dB render PSNR on the trained scene-1 checkpoint — its pts3d
+# output passes through expm1, which exponentiates quant noise into
+# position error. All other 18 families together: -0.16 dB.
+SENSITIVE_PATHS = ("/center_head/",)
+
+
 def quantize_tree(params, min_size: int = 1 << 14, exclude: tuple = (),
                   include_only: tuple = ()):
     """Quantize every linear-shaped {"w"} dict in a params pytree whose

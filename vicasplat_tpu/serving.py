@@ -64,6 +64,7 @@ class InferenceEngine:
                  decoder: DecoderSplattingConfig = DecoderSplattingConfig(),
                  view_mesh=None, quantize: bool = False,
                  quantize_min_size: Optional[int] = None,
+                 quantize_exclude: Optional[tuple] = None,
                  adaptive_caps: bool = False):
         """view_mesh: optional jax.sharding.Mesh — trajectory renders then
         shard the view axis over it (parallel/view_parallel.py); one
@@ -71,8 +72,13 @@ class InferenceEngine:
         renders its slice of the requested views.
 
         quantize=True prepares int8 weights for every large linear (W8A8,
-        ops/quant.py): 2x MXU peak + half the weight HBM traffic, at an
-        accuracy cost that must be validated per checkpoint (experimental).
+        ops/quant.py): 2x MXU peak + half the weight HBM traffic. By
+        default the measured-sensitive families (quant.SENSITIVE_PATHS —
+        the expm1-amplified center head, -2.0 dB alone vs -0.16 dB for
+        the other 18 together, job 043) stay float; pass
+        quantize_exclude=() to quantize everything, or your own path
+        tuple after a sensitivity pass on your checkpoint
+        (quant.quantizable_paths + include_only).
         """
         self.cfg = cfg
         self.dec_cfg = decoder
@@ -91,10 +97,14 @@ class InferenceEngine:
 
         self.n_quantized = 0
         if quantize:
+            from .ops.quant import SENSITIVE_PATHS
+
             # quantize from the f32 masters; quantize_min_size overrides the
             # default per-layer kernel-size threshold
             kw = ({} if quantize_min_size is None
                   else {"min_size": quantize_min_size})
+            kw["exclude"] = (SENSITIVE_PATHS if quantize_exclude is None
+                             else tuple(quantize_exclude))
             params, self.n_quantized = quantize_tree(params, **kw)
         # bf16-resident weights: the TPU analogue of serving in TF32/fp16;
         # int8 kernels + their f32 channel scales keep their dtypes

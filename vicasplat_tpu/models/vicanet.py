@@ -70,6 +70,10 @@ class VicaNetConfig:
     # (TPU only; the einsum path is used on other backends and for the tiny
     # camera-query attention). Numerically the same softmax(QK^T)V in f32.
     use_flash_attention: bool = True
+    # Flash for the per-frame ENCODER attention too (opt-in until job 046
+    # sizes it): 257 tokens pad to 512 inside the kernel; saves the f32
+    # logits HBM round-trip at trivial padded-MXU cost.
+    enc_use_flash_attention: bool = False
     # >0 replaces the decoder image-stream MLP with a top-k-routed
     # mixture-of-experts FFN (models/moe.py; beyond reference — the
     # VicaSplat family is dense). Shardable over an "expert" mesh axis
@@ -303,14 +307,20 @@ def _split_qkv(qkv, n_heads):
     return heads(q), heads(k), heads(v)
 
 
-def _enc_block_apply(p, x, cos, sin, n_heads, dtype):
-    """One ViT encoder block. x: (B, N, C); rope tables (N, D)."""
+def _enc_block_apply(p, x, cos, sin, n_heads, dtype, flash=False):
+    """One ViT encoder block. x: (B, N, C); rope tables (N, D).
+
+    flash=True routes the per-frame attention through the Pallas flash
+    kernel (queries padded 257 -> 512 with segment-masked dummies): the
+    padded MXU work is trivial (~9 GF/block) but the einsum path's f32
+    logits (B*T, H, 257, 257) never round-trip HBM (job 046 measures it).
+    """
     h = layernorm(p["norm1"], x)
     q, k, v = _split_qkv(linear(p["attn"]["qkv"], h, dtype), n_heads)
     # rope over tokens: (B, N, H, D) with tables (N, 1, D)
     q = rope_lib.apply_rope_2d(q, cos[:, None, :], sin[:, None, :])
     k = rope_lib.apply_rope_2d(k, cos[:, None, :], sin[:, None, :])
-    a = sdpa(q, k, v).reshape(x.shape)
+    a = (_flash_unmasked(q, k, v) if flash else sdpa(q, k, v)).reshape(x.shape)
     x = x + linear(p["attn"]["proj"], a, dtype)
     x = x + mlp(p["mlp"], layernorm(p["norm2"], x), dtype)
     return x
@@ -538,8 +548,12 @@ def vicanet_forward(
 
     x = sp_shard_tokens(x, sp_mesh)
 
+    enc_flash = (cfg.enc_use_flash_attention
+                 and jax.default_backend() == "tpu" and sp_mesh is None)
+
     def enc_step(h, blk):
-        h = _enc_block_apply(blk, h, cos_e, sin_e, cfg.enc_num_heads, dtype)
+        h = _enc_block_apply(blk, h, cos_e, sin_e, cfg.enc_num_heads, dtype,
+                             flash=enc_flash)
         return sp_shard_tokens(h, sp_mesh), None
 
     step = jax.checkpoint(enc_step, policy=_policy) if remat else enc_step

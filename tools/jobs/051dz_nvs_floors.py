@@ -1,15 +1,15 @@
-"""NVS floors + cap sensitivity for the 48k trained-synthetic eval (job 052).
+"""NVS random-init floor for the 48k trained-synthetic eval (job 052).
 
-Job 052 reported held-out-scene PSNR 12.99 / SSIM 0.246 at 48k steps, but
-committed no floor to compare against, and every render hit the
-max_per_tile=256 cap (coverage_tile_overflow_frac 1.0). Two quick evals:
+Job 052 reported held-out-scene PSNR 12.99 / SSIM 0.246 at 48k steps but
+committed no floor to compare against. This runs the identical test
+protocol with random-init weights -> the "untrained" floor the trained
+number must beat (mirrors the pose proof's random baseline).
 
-1. random-init weights, identical protocol -> the "untrained" floor the
-   trained number must beat (mirrors the pose proof's random baseline).
-2. trained 48k ckpt at max_per_tile=1024 -> does lifting the serve-time
-   cap above the train-time cap help or hurt? (Round-4 finding on the
-   real-scene ckpt: the model trains THROUGH the caps and compensates, so
-   train/serve cap consistency is the invariant — verify it holds here.)
+The original second half of this job (trained ckpt at max_per_tile=1024)
+is DROPPED: the 08-20 VM recreation lost outputs/synthetic_pose/ckpts_v5_*
+(uncommitted, ~GB-scale), so the 48k checkpoint no longer exists. The
+train/serve cap-consistency finding stands on the real-scene ckpt evidence
+(tools/jobs/archive/033b, DESIGN.md §5).
 """
 import sys
 for m in [k for k in sys.modules if k.startswith("vicasplat_tpu") or k in ("benchlib", "pose_segments")]:
@@ -26,24 +26,11 @@ base = [
     "dataset.synthetic.augment=true",
 ]
 
-print("=== 1/2 random-init floor (same protocol, no ckpt) ===", flush=True)
+print("=== random-init floor (same protocol as job 052, no ckpt) ===", flush=True)
 cfg = load_config(
     "/root/repo/configs/main.yaml", experiment="synthetic_pose",
     overrides=base + [
         "test.output_path=outputs/synthetic_pose/nvs_eval_random_floor",
     ])
 test(cfg)
-
-print("=== 2/2 trained 48k ckpt, max_per_tile 256 -> 1024 ===", flush=True)
-ckpt = pose_segments.newest_ckpt(3)  # the 48k ckpt job 052 evaluated
-print("ckpt:", ckpt, flush=True)
-assert ckpt is not None and "seg3" in ckpt
-cfg = load_config(
-    "/root/repo/configs/main.yaml", experiment="synthetic_pose",
-    overrides=base + [
-        f"checkpointing.load={ckpt}",
-        "decoder.rasterize.max_per_tile=1024",
-        "test.output_path=outputs/synthetic_pose/nvs_eval_trained_k1024",
-    ])
-test(cfg)
-print("done -> nvs_eval_random_floor + nvs_eval_trained_k1024", flush=True)
+print("done -> outputs/synthetic_pose/nvs_eval_random_floor", flush=True)

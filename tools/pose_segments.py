@@ -1,46 +1,107 @@
-"""Segmented pose-generalization retrain (round 4 continuation).
+"""Segmented pose-generalization retrain, v6 (round 4→5 handoff).
 
-The 08-19 VM recreation lost outputs/synthetic_pose/ckpts_v3/v4 (the
-512-/2048-scene checkpoints behind the committed auc@30 0.173/0.222), so
-the planned 48k warm-start (archive/050) is impossible — this retrains
-from scratch with BOTH proven levers turned up: scene diversity 2048 ->
-4096 (the 64->512->2048 sweep moved held-out auc@30 0.030 -> 0.173 ->
-0.222) and optimization length 24k -> 48k (train PSNR was ~10.5 and still
-falling at 24k — under-trained, not capacity-bound).
+v5 (jobs 051a-d) completed its planned 48k steps and produced the committed
+held-out auc@30 trajectory 0.227 → 0.234 → 0.251 → 0.258 (12k→48k,
+~+0.015/12k and still climbing) — but its checkpoints lived only in the
+workspace and the 08-20 VM recreation destroyed them (the SECOND time a
+wipe has eaten this run's weights). v6 re-runs the identical recipe with
+the one fix that matters: **every segment ends by committing a float16
+weights snapshot to git** (~60 MB, outputs/synthetic_pose/ckpt_committed/),
+so any future session on any future VM can warm-start from the last
+completed segment instead of burning 48k steps re-deriving a number we
+already have.
 
-Run as FOUR 12k-step segment jobs (tools/jobs/051{a-d}) rather than one
-48k job: the worker re-execs unfinished jobs from the top after a tunnel
-outage, so segment granularity bounds lost work to <=12k steps. Segments
-warm-start from the newest checkpoint across all segment dirs
-(weights-only -> fresh optimizer + 12k cosine per segment, i.e. SGDR-style
-warm restarts — same semantics the archived 050 job deliberately chose).
-Each segment ends with the full held-out pose eval (8 test scenes through
-evaluation/pose_evaluator.py, reference protocol
-src/evaluation/pose_evaluator.py:34-245) appended to
-outputs/tpu_pose_proof/v2_synthetic/summary.json, so ANY completed
-segment leaves a committed-able metric even if the round ends mid-run.
+Mechanics (unchanged from v5 otherwise):
+- 12k-step segments, fresh AdamW + cosine per segment (SGDR warm restarts);
+- warm-start from the newest orbax ckpt across v6 segment dirs, else
+  bootstrap from the committed npz (reconstructed into an orbax dir so the
+  normal ``checkpointing.load`` path is exercised);
+- each segment ends with the full held-out pose eval (8 unseen scenes,
+  reference protocol src/evaluation/pose_evaluator.py:34-245) appended to
+  outputs/tpu_pose_proof/v2_synthetic/summary.json and committed.
 """
 import json
 import pathlib
 import re
+import subprocess
 
 import numpy as np
 
 ROOT = pathlib.Path("/root/repo")
 CKPT_ROOT = ROOT / "outputs/synthetic_pose"
 SUMMARY = ROOT / "outputs/tpu_pose_proof/v2_synthetic/summary.json"
+COMMIT_NPZ = CKPT_ROOT / "ckpt_committed/weights_latest.npz"
 N_SCENES = 4096
 SEG_STEPS = 12000
-N_SEGMENTS = 4
+N_SEGMENTS = 6
+VERSION = "v6"
+
+
+def _seg_dir(seg: int) -> pathlib.Path:
+    return CKPT_ROOT / f"ckpts_{VERSION}_seg{seg}"
+
+
+def save_committed(params, total_steps: int, seg: int) -> None:
+    """Flatten params in template order and write a float16 npz.
+
+    f16 keeps 10 mantissa bits (vs bf16's 7); trained weights of this 33M
+    model sit well inside f16's range, and every segment restart is an SGDR
+    warm restart (fresh optimizer) anyway, so the rounding is immaterial.
+    """
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(params)
+    payload = {f"arr_{i}": np.asarray(x).astype(np.float16)
+               for i, x in enumerate(leaves)}
+    payload["_total_steps"] = np.asarray(total_steps)
+    payload["_segment"] = np.asarray(seg)
+    COMMIT_NPZ.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(COMMIT_NPZ, **payload)
+    print(f"committed-snapshot npz written: {COMMIT_NPZ} "
+          f"({COMMIT_NPZ.stat().st_size/1e6:.1f} MB)", flush=True)
+
+
+def load_committed(template):
+    """Restore (params, total_steps, segment) from the committed npz."""
+    import jax
+
+    with np.load(COMMIT_NPZ) as z:
+        leaves, treedef = jax.tree_util.tree_flatten(template)
+        n = sum(1 for k in z.files if k.startswith("arr_"))
+        if n != len(leaves):
+            raise ValueError(
+                f"committed npz has {n} leaves, template has {len(leaves)} "
+                "(config drift since the snapshot was written)")
+        restored = [np.asarray(z[f"arr_{i}"]).astype(np.asarray(t).dtype)
+                    for i, t in enumerate(leaves)]
+        total = int(z["_total_steps"])
+        seg = int(z["_segment"])
+    return jax.tree_util.tree_unflatten(treedef, restored), total, seg
+
+
+def git_commit_segment(seg: int, total_k: int, auc30: float) -> None:
+    """Persist the snapshot + metrics so a VM wipe cannot eat this segment."""
+    try:
+        subprocess.run(
+            ["git", "add", "-f", str(COMMIT_NPZ), str(SUMMARY)],
+            cwd=ROOT, check=True, capture_output=True)
+        r = subprocess.run(
+            ["git", "commit", "-m",
+             f"Pose retrain v6 segment {seg}: auc@30 {auc30:.3f} at "
+             f"{total_k}k steps (f16 weights snapshot committed)"],
+            cwd=ROOT, check=False, capture_output=True, text=True)
+        print("git commit:", (r.stdout or r.stderr).strip()[:200], flush=True)
+    except Exception as e:  # never fail the job on git trouble
+        print("git commit failed (continuing):", e, flush=True)
 
 
 def newest_ckpt(upto_seg: int):
-    """Newest checkpoint across segment dirs 0..upto_seg by (seg, step)."""
+    """Newest checkpoint across v6 segment dirs 0..upto_seg by (seg, step)."""
     from vicasplat_tpu.utils.checkpointing import CheckpointManager
 
     best = None
     for seg in range(upto_seg + 1):
-        d = CKPT_ROOT / f"ckpts_v5_seg{seg}"
+        d = _seg_dir(seg)
         if not d.exists():
             continue
         latest = CheckpointManager(str(d), keep=5).latest()
@@ -52,6 +113,27 @@ def newest_ckpt(upto_seg: int):
         if best is None or key > best[0]:
             best = (key, latest)
     return None if best is None else str(best[1])
+
+
+def bootstrap_from_committed(cfg) -> None:
+    """Post-wipe recovery: rebuild an orbax ckpt dir from the committed npz
+    so the normal warm-start path (checkpointing.load=<orbax dir>) works."""
+    import jax
+
+    from vicasplat_tpu.models import init_vicasplat
+    from vicasplat_tpu.utils.checkpointing import CheckpointManager
+
+    if not COMMIT_NPZ.exists():
+        return
+    if any(_seg_dir(s).exists() for s in range(N_SEGMENTS)):
+        return
+    template = init_vicasplat(jax.random.PRNGKey(0), cfg.encoder)
+    params, total, seg = load_committed(template)
+    mgr = CheckpointManager(str(_seg_dir(seg)), keep=5, async_save=False)
+    mgr.save(total - seg * SEG_STEPS, params)
+    mgr.finalize()
+    print(f"bootstrapped orbax ckpt from committed npz: segment {seg}, "
+          f"{total} total steps", flush=True)
 
 
 def run_segment(seg: int) -> None:
@@ -66,16 +148,7 @@ def run_segment(seg: int) -> None:
     from vicasplat_tpu.utils.checkpointing import (
         CheckpointManager, load_weights)
 
-    ckpt_dir = CKPT_ROOT / f"ckpts_v5_seg{seg}"
-    done = CheckpointManager(str(ckpt_dir), keep=5).latest()
-    if done is not None and str(SEG_STEPS) in pathlib.Path(done).name:
-        print(f"segment {seg} already trained ({done}); eval only",
-              flush=True)
-        warm = None
-    else:
-        warm = newest_ckpt(seg)
-        print(f"segment {seg}: warm-start from {warm}", flush=True)
-
+    ckpt_dir = _seg_dir(seg)
     overrides = [
         f"dataset.synthetic.n_scenes={N_SCENES}",
         "dataset.synthetic.augment=true",
@@ -83,16 +156,26 @@ def run_segment(seg: int) -> None:
         f"optimizer.max_steps={SEG_STEPS}",
         f"trainer.max_steps={SEG_STEPS}",
         "checkpointing.every_n_train_steps=6000",
-        f"checkpointing.output_dir=outputs/synthetic_pose/ckpts_v5_seg{seg}",
-        f"output_dir=outputs/synthetic_pose_v5/seg{seg}",
-        f"test.output_path=outputs/synthetic_pose_v5/seg{seg}/eval",
+        f"checkpointing.output_dir={ckpt_dir.relative_to(ROOT)}",
+        f"output_dir=outputs/synthetic_pose_{VERSION}/seg{seg}",
+        f"test.output_path=outputs/synthetic_pose_{VERSION}/seg{seg}/eval",
     ]
-    if warm is not None:
-        overrides.append(f"checkpointing.load={warm}")
     cfg = load_config(str(ROOT / "configs/main.yaml"),
                       experiment="synthetic_pose", overrides=overrides)
+    bootstrap_from_committed(cfg)
 
-    if done is None or str(SEG_STEPS) not in pathlib.Path(done).name:
+    done = CheckpointManager(str(ckpt_dir), keep=5).latest()
+    if done is not None and str(SEG_STEPS) in pathlib.Path(done).name:
+        print(f"segment {seg} already trained ({done}); eval only",
+              flush=True)
+    else:
+        warm = newest_ckpt(seg)
+        print(f"segment {seg}: warm-start from {warm}", flush=True)
+        if warm is not None:
+            overrides.append(f"checkpointing.load={warm}")
+            cfg = load_config(str(ROOT / "configs/main.yaml"),
+                              experiment="synthetic_pose",
+                              overrides=overrides)
         train(cfg)
 
     latest = CheckpointManager(str(ckpt_dir), keep=5).latest()
@@ -101,8 +184,9 @@ def run_segment(seg: int) -> None:
         str(latest), template=init_vicasplat(jax.random.PRNGKey(0),
                                              cfg.encoder))
 
-    total_k = (seg + 1) * SEG_STEPS // 1000
-    tag = f"trained_{N_SCENES}scenes_{total_k}k"
+    total_steps = (seg + 1) * SEG_STEPS
+    total_k = total_steps // 1000
+    tag = f"trained_{N_SCENES}scenes_{total_k}k_{VERSION}"
     out = ROOT / "outputs/tpu_pose_proof/v2_synthetic" / tag
     ev = PoseEvaluator(params, cfg.encoder, cfg.decoder,
                        PoseEvalConfig(output_path=str(out)))
@@ -126,9 +210,12 @@ def run_segment(seg: int) -> None:
 
     prev = json.loads(SUMMARY.read_text())
     prev[tag] = dict(
-        s, config=f"from-scratch segmented retrain: {N_SCENES} scenes + "
+        s, config=f"v6 from-scratch segmented retrain: {N_SCENES} scenes + "
                   f"x-flip + camera weight 2.0, {total_k}k steps total "
                   f"(12k-step SGDR segments, tools/pose_segments.py; "
-                  f"ckpt {ckpt_dir.relative_to(ROOT)})")
+                  f"f16 snapshot committed per segment)")
     SUMMARY.write_text(json.dumps(prev, indent=2))
     print(f"auc@30 ({total_k}k):", s.get("auc@30"), flush=True)
+
+    save_committed(params, total_steps, seg)
+    git_commit_segment(seg, total_k, float(s.get("auc@30", 0.0)))

@@ -148,6 +148,63 @@ def main():
     print(json.dumps(result))
 
 
+def _preempt_worker(root=None):
+    """Release the TPU chip if tools/tpu_worker.py is holding it.
+
+    Only one process can claim the chip at a time; if the driver runs this
+    benchmark while the job worker is mid-queue, the bench child would
+    block on the claim for up to the remaining queue length (~90 min).
+    End-of-round bench outranks the queue: signal both loops to stop
+    (.stop/.stopall — the keepalive honours .stopall and won't relaunch),
+    then kill the worker PID directly. Every completed job has already
+    committed its own artifacts, so at most the current job's uncommitted
+    progress is lost. The PID is verified against /proc/<pid>/cmdline
+    (must be the tpu_worker) so a stale/reused pid is never killed.
+    """
+    import signal
+    import time as _time
+
+    here = root or os.path.dirname(os.path.abspath(__file__))
+    jobs = os.path.join(here, "tools", "jobs")
+    if os.path.isdir(jobs):
+        for flag in (".stop", ".stopall"):
+            try:
+                open(os.path.join(jobs, flag), "w").close()
+            except OSError:
+                pass
+    pid_file = os.path.join(here, "tools", "worker.pid")
+    try:
+        pid = int(open(pid_file).read().strip())
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            cmdline = f.read().decode(errors="replace")
+    except (OSError, ValueError):
+        return
+    if "tpu_worker" not in cmdline or pid == os.getpid():
+        return
+    import sys
+
+    print(f"bench: stopping tpu_worker (pid {pid}) to free the chip",
+          file=sys.stderr)
+    def _gone(p):
+        # a zombie (dead, not yet reaped by the keepalive) still answers
+        # kill(p, 0) — read the state field from /proc instead
+        try:
+            stat = open(f"/proc/{p}/stat").read()
+            return stat.rsplit(")", 1)[1].split()[0] == "Z"
+        except OSError:
+            return True
+
+    try:
+        os.kill(pid, signal.SIGTERM)
+        for _ in range(60):
+            _time.sleep(1)
+            if _gone(pid):
+                return
+        os.kill(pid, signal.SIGKILL)
+    except ProcessLookupError:
+        pass
+
+
 def _run_guarded():
     """Run main() in a child process; retry with a fresh compile cache if
     the child dies without printing the JSON line.
@@ -162,6 +219,12 @@ def _run_guarded():
     import subprocess
     import sys
     import tempfile
+
+    try:
+        _preempt_worker()
+    except Exception as e:  # never let cleanup break the benchmark
+        print(f"bench: worker preemption failed ({e}); continuing",
+              file=sys.stderr)
 
     def attempt(env):
         p = subprocess.run(

@@ -51,3 +51,26 @@ def test_committed_template_mismatch_raises(tmp_path, monkeypatch):
     bad_template = {"only": jnp.zeros((2, 2))}
     with pytest.raises(ValueError, match="config drift"):
         pose_segments.load_committed(bad_template)
+
+
+def _write_ckpt(seg_dir, step):
+    from vicasplat_tpu.utils.checkpointing import CheckpointManager
+    mgr = CheckpointManager(str(seg_dir), keep=5, async_save=False)
+    mgr.save(step, {"w": jnp.zeros((2,))})
+    mgr.finalize()
+
+
+def test_newest_ckpt_orders_by_segment_then_step(tmp_path, monkeypatch):
+    """Warm-start must come from the HIGHEST segment even when an earlier
+    segment holds a numerically larger step (each segment restarts its
+    local step count, so (seg, step) is the only sound ordering)."""
+    monkeypatch.setattr(pose_segments, "CKPT_ROOT", tmp_path)
+    _write_ckpt(tmp_path / "ckpts_v6_seg0", 12000)
+    _write_ckpt(tmp_path / "ckpts_v6_seg1", 6000)
+    got = pose_segments.newest_ckpt(upto_seg=3)  # segs 2-3 absent: skipped
+    assert got is not None and "seg1" in got and "6000" in got
+
+
+def test_newest_ckpt_empty(tmp_path, monkeypatch):
+    monkeypatch.setattr(pose_segments, "CKPT_ROOT", tmp_path)
+    assert pose_segments.newest_ckpt(upto_seg=5) is None

@@ -125,7 +125,11 @@ def bootstrap_from_committed(cfg) -> None:
 
     if not COMMIT_NPZ.exists():
         return
-    if any(_seg_dir(s).exists() for s in range(N_SEGMENTS)):
+    with np.load(COMMIT_NPZ) as z:
+        npz_seg = int(z["_segment"])
+    # extension segments (seg >= N_SEGMENTS) must count as existing too
+    if any(_seg_dir(s).exists()
+           for s in range(max(N_SEGMENTS, npz_seg + 1))):
         return
     template = init_vicasplat(jax.random.PRNGKey(0), cfg.encoder)
     params, total, seg = load_committed(template)

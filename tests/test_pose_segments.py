@@ -74,3 +74,22 @@ def test_newest_ckpt_orders_by_segment_then_step(tmp_path, monkeypatch):
 def test_newest_ckpt_empty(tmp_path, monkeypatch):
     monkeypatch.setattr(pose_segments, "CKPT_ROOT", tmp_path)
     assert pose_segments.newest_ckpt(upto_seg=5) is None
+
+
+def test_committed_segment_guards_requeued_jobs(tmp_path, monkeypatch):
+    """A VM wipe deletes the worker's <job>.out markers, so segment jobs
+    re-run. committed_segment() is what run_segment uses to skip segments
+    whose results are already in git — without it, a requeued segment 0
+    would retrain from scratch and clobber the committed later snapshot."""
+    monkeypatch.setattr(pose_segments, "COMMIT_NPZ",
+                        tmp_path / "weights_latest.npz")
+    assert pose_segments.committed_segment() == -1  # no npz yet
+    pose_segments.save_committed(
+        _tree(jax.random.PRNGKey(0)),
+        total_steps=3 * pose_segments.SEG_STEPS, seg=2)
+    assert pose_segments.committed_segment() == 2
+    # a partially-trained segment (steps short of the boundary) doesn't count
+    pose_segments.save_committed(
+        _tree(jax.random.PRNGKey(0)),
+        total_steps=3 * pose_segments.SEG_STEPS + 1000, seg=3)
+    assert pose_segments.committed_segment() == -1

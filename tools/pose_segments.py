@@ -140,8 +140,29 @@ def bootstrap_from_committed(cfg) -> None:
           f"{total} total steps", flush=True)
 
 
+def committed_segment() -> int:
+    """Segment recorded in the committed npz, or -1 if none exists."""
+    if not COMMIT_NPZ.exists():
+        return -1
+    with np.load(COMMIT_NPZ) as z:
+        if int(z["_total_steps"]) >= (int(z["_segment"]) + 1) * SEG_STEPS:
+            return int(z["_segment"])
+    return -1
+
+
 def run_segment(seg: int) -> None:
     import jax
+
+    # Wipe recovery: a VM recreation deletes the worker's <job>.out files,
+    # so the queue re-runs every segment job. Segments whose results are
+    # already committed (f16 npz + summary.json in git) must NOT re-train —
+    # before this guard, a re-run of segment 0 would train FROM SCRATCH
+    # (newest_ckpt(0) sees no dirs) and then overwrite the committed
+    # 36k-step snapshot with a 12k-step one.
+    if committed_segment() >= seg:
+        print(f"segment {seg} already committed (npz at segment "
+              f"{committed_segment()}); skipping", flush=True)
+        return
 
     from vicasplat_tpu.utils.config import load_config
     from vicasplat_tpu.main import train

@@ -150,6 +150,121 @@ def committed_segment() -> int:
     return -1
 
 
+def run_dir_finetune(steps: int = 12000,
+                     dir_weight: float = 1.0) -> None:
+    """v7 exploration: fine-tune the newest v6 checkpoint with the
+    translation-DIRECTION auxiliary loss (loss/losses.py
+    translation_direction_loss) for one SGDR segment, then run the held-out
+    pose eval. Rationale: v5/v6 held-out rotation converged to ~3 deg but
+    translation direction — the other input to pose-AUC — stalled at ~40
+    deg; the dq L1 underweights direction when |t_gt| is small. Writes its
+    own committed npz (does NOT touch v6's warm-start chain)."""
+    import jax
+
+    from vicasplat_tpu.utils.config import load_config
+    from vicasplat_tpu.main import train
+    from vicasplat_tpu.data import DataModule
+    from vicasplat_tpu.evaluation.pose_evaluator import (
+        PoseEvalConfig, PoseEvaluator)
+    from vicasplat_tpu.models import init_vicasplat
+    from vicasplat_tpu.utils.checkpointing import (
+        CheckpointManager, load_weights)
+
+    ckpt_dir = CKPT_ROOT / "ckpts_v7_dir"
+    base_overrides = [
+        f"dataset.synthetic.n_scenes={N_SCENES}",
+        "dataset.synthetic.augment=true",
+        "loss.camera.weight=2.0",
+        f"loss.camera.trans_dir_weight={dir_weight}",
+        f"optimizer.max_steps={steps}",
+        f"trainer.max_steps={steps}",
+        "checkpointing.every_n_train_steps=6000",
+        f"checkpointing.output_dir={ckpt_dir.relative_to(ROOT)}",
+        "output_dir=outputs/synthetic_pose_v7/dir_ft",
+        "test.output_path=outputs/synthetic_pose_v7/dir_ft/eval",
+    ]
+    cfg = load_config(str(ROOT / "configs/main.yaml"),
+                      experiment="synthetic_pose", overrides=base_overrides)
+    bootstrap_from_committed(cfg)
+
+    done = CheckpointManager(str(ckpt_dir), keep=5).latest()
+    if done is not None and str(steps) in pathlib.Path(done).name:
+        print(f"v7 dir finetune already trained ({done}); eval only",
+              flush=True)
+        warm = None
+    else:
+        # warm-start from the newest v6 segment (incl. extensions 6-7)
+        warm = newest_ckpt(7)
+        print(f"v7 dir finetune: warm-start from {warm}", flush=True)
+        assert warm is not None, "no v6 checkpoint to fine-tune from"
+        cfg = load_config(
+            str(ROOT / "configs/main.yaml"), experiment="synthetic_pose",
+            overrides=base_overrides + [f"checkpointing.load={warm}"])
+        train(cfg)
+
+    latest = CheckpointManager(str(ckpt_dir), keep=5).latest()
+    print("evaluating ckpt:", latest, flush=True)
+    params = load_weights(
+        str(latest), template=init_vicasplat(jax.random.PRNGKey(0),
+                                             cfg.encoder))
+    warm_seg = -1
+    for s in range(8):
+        if _seg_dir(s).exists():
+            warm_seg = s
+    base_k = (warm_seg + 1) * SEG_STEPS // 1000
+    tag = f"trained_{N_SCENES}scenes_{base_k}k_plus_dirft{steps // 1000}k_v7"
+    out = ROOT / "outputs/tpu_pose_proof/v2_synthetic" / tag
+    ev = PoseEvaluator(params, cfg.encoder, cfg.decoder,
+                       PoseEvalConfig(output_path=str(out)))
+    dm = DataModule(cfg.dataset, cfg.data_loader, None)
+    loader = dm.test_dataloader()
+    for i, batch in enumerate(loader):
+        r = ev.evaluate_batch(batch)
+        print(f"[test {i}] {r['scene']}: ate={r['ate']:.4f} "
+              f"rpe_r={r['rpe_rot']:.3f}", flush=True)
+    loader.close()
+    ev.dump()
+    s = ev.summary()
+    rot = np.asarray(ev.metrics["rot_err_deg"])
+    trans = np.asarray(ev.metrics["trans_err_deg"])
+    s["rot_err_mean_deg"] = float(rot.mean())
+    s["rot_err_frac_lt30"] = float((rot < 30).mean())
+    s["trans_err_mean_deg"] = float(trans.mean())
+    s["trans_err_frac_lt30"] = float((trans < 30).mean())
+    print("TEST summary:", {k: round(v, 4) for k, v in s.items()},
+          flush=True)
+
+    prev = json.loads(SUMMARY.read_text())
+    prev[tag] = dict(
+        s, config=f"v7 translation-direction fine-tune: {steps // 1000}k "
+                  f"steps @ trans_dir_weight={dir_weight} from the newest "
+                  f"v6 segment ({base_k}k); tools/pose_segments.py")
+    SUMMARY.write_text(json.dumps(prev, indent=2))
+    print(f"v7 auc@30 (dir ft, base {base_k}k):", s.get("auc@30"),
+          flush=True)
+
+    npz = CKPT_ROOT / "ckpt_committed/weights_v7_dir.npz"
+    leaves = jax.tree_util.tree_leaves(params)
+    payload = {f"arr_{i}": np.asarray(x).astype(np.float16)
+               for i, x in enumerate(leaves)}
+    payload["_total_steps"] = np.asarray(base_k * 1000 + steps)
+    payload["_segment"] = np.asarray(100)  # out-of-band: v7 branch marker
+    npz.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(npz, **payload)
+    try:
+        subprocess.run(["git", "add", "-f", str(npz), str(SUMMARY)],
+                       cwd=ROOT, check=True, capture_output=True)
+        r = subprocess.run(
+            ["git", "commit", "-m",
+             f"Pose v7 direction-loss finetune ({base_k}k+{steps // 1000}k):"
+             f" auc@30 {float(s.get('auc@30', 0.0)):.3f}, trans dir mean "
+             f"{s['trans_err_mean_deg']:.1f} deg (f16 snapshot committed)"],
+            cwd=ROOT, check=False, capture_output=True, text=True)
+        print("git commit:", (r.stdout or r.stderr).strip()[:200], flush=True)
+    except Exception as e:
+        print("git commit failed (continuing):", e, flush=True)
+
+
 def run_segment(seg: int) -> None:
     import jax
 

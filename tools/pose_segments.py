@@ -140,6 +140,39 @@ def bootstrap_from_committed(cfg) -> None:
           f"{total} total steps", flush=True)
 
 
+def _check_warm_start(seg: int, warm) -> None:
+    """Refuse a cross-segment warm start from an INCOMPLETE predecessor.
+
+    If segment k dies mid-training (tunnel hang/kill) its job is marked
+    done by the worker (error status still writes <job>.out), and segment
+    k+1 would warm-start from whatever newest_ckpt returns — a partial
+    ckpt of segment k, or segment k-1 — and then publish metrics under a
+    total-step tag that is wrong by up to 12k steps. Only two warm starts
+    are sound: segment seg-1 at exactly SEG_STEPS (completed), or segment
+    seg itself (resuming our own partial run; the step tag then
+    underestimates, which is the safe direction)."""
+    if seg == 0:
+        return
+    if warm is None:
+        raise RuntimeError(
+            f"segment {seg} has no checkpoint to warm-start from — training "
+            "from scratch would publish a mislabeled total-step tag; re-run "
+            "earlier segments (or restore the committed npz) first")
+    m = re.search(rf"ckpts_{VERSION}_seg(\d+)", str(warm))
+    step_m = re.search(r"(\d+)", pathlib.Path(str(warm)).name)
+    warm_seg = int(m.group(1)) if m else -1
+    warm_step = int(step_m.group(1)) if step_m else 0
+    if warm_seg == seg:
+        return
+    if warm_seg == seg - 1 and warm_step == SEG_STEPS:
+        return
+    raise RuntimeError(
+        f"segment {seg} cannot warm-start from segment {warm_seg} at step "
+        f"{warm_step} ({warm}): predecessor incomplete — re-run segment "
+        f"{warm_seg if warm_step != SEG_STEPS else seg - 1} first "
+        "(delete its <job>.out to requeue)")
+
+
 def committed_segment() -> int:
     """Segment recorded in the committed npz, or -1 if none exists."""
     if not COMMIT_NPZ.exists():
@@ -197,6 +230,11 @@ def run_dir_finetune(steps: int = 12000,
         warm = newest_ckpt(7)
         print(f"v7 dir finetune: warm-start from {warm}", flush=True)
         assert warm is not None, "no v6 checkpoint to fine-tune from"
+        step_m = re.search(r"(\d+)", pathlib.Path(str(warm)).name)
+        if step_m and int(step_m.group(1)) != SEG_STEPS:
+            raise RuntimeError(
+                f"v7 fine-tune refuses a PARTIAL v6 segment ({warm}): "
+                "the base tag would be wrong — finish the segment first")
         cfg = load_config(
             str(ROOT / "configs/main.yaml"), experiment="synthetic_pose",
             overrides=base_overrides + [f"checkpointing.load={warm}"])
@@ -311,6 +349,7 @@ def run_segment(seg: int) -> None:
     else:
         warm = newest_ckpt(seg)
         print(f"segment {seg}: warm-start from {warm}", flush=True)
+        _check_warm_start(seg, warm)
         if warm is not None:
             overrides.append(f"checkpointing.load={warm}")
             cfg = load_config(str(ROOT / "configs/main.yaml"),

@@ -8,6 +8,28 @@ while true; do
   if [ -f tools/jobs/.stopall ]; then exit 0; fi
   pid=$(cat tools/worker.pid 2>/dev/null)
   if [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null; then
+    # Stall watchdog: a tunnel drop mid-dispatch leaves the worker ALIVE
+    # but wedged forever (0% CPU, no progress — observed 08-20 06:33, the
+    # dropped RPC never raised). If NOTHING the worker writes (job .out
+    # files, outputs/, the compile cache) has changed in 40 min while jobs
+    # are pending, kill it; this loop relaunches it on a fresh backend.
+    # 40 min clears the longest observed legitimate quiet period (a 27-29
+    # min cold remote-compile).
+    if grep -q tpu_worker "/proc/$pid/cmdline" 2>/dev/null; then
+      recent=$(find tools/jobs outputs .jax_cache -newermt "-40 minutes" \
+                 -print -quit 2>/dev/null)
+      pending_w=0
+      for j in tools/jobs/*.py; do
+        [ -e "$j" ] || continue
+        [ -f "${j%.py}.out" ] || { pending_w=1; break; }
+      done
+      if [ -z "$recent" ] && [ "$pending_w" = "1" ]; then
+        echo "$(date -u +%H:%M:%S) watchdog: worker $pid stalled >40min, killing" >> tools/keepalive.log
+        kill "$pid" 2>/dev/null
+        sleep 10
+        kill -9 "$pid" 2>/dev/null
+      fi
+    fi
     sleep 30
     continue
   fi

@@ -245,11 +245,15 @@ def run_dir_finetune(steps: int = 12000,
     params = load_weights(
         str(latest), template=init_vicasplat(jax.random.PRNGKey(0),
                                              cfg.encoder))
-    warm_seg = -1
-    for s in range(8):
-        if _seg_dir(s).exists():
-            warm_seg = s
-    base_k = (warm_seg + 1) * SEG_STEPS // 1000
+    # base_k comes from the warm checkpoint actually used (eval-only branch:
+    # re-derive it via newest_ckpt), NOT from seg-dir existence — an empty
+    # dir left by a crashed run would inflate the published tag by 12k.
+    base_ckpt = warm if warm is not None else newest_ckpt(7)
+    seg_m = re.search(rf"ckpts_{VERSION}_seg(\d+)", str(base_ckpt))
+    if seg_m is None:
+        raise RuntimeError(
+            f"cannot derive base segment from warm ckpt path {base_ckpt}")
+    base_k = (int(seg_m.group(1)) + 1) * SEG_STEPS // 1000
     tag = f"trained_{N_SCENES}scenes_{base_k}k_plus_dirft{steps // 1000}k_v7"
     out = ROOT / "outputs/tpu_pose_proof/v2_synthetic" / tag
     ev = PoseEvaluator(params, cfg.encoder, cfg.decoder,

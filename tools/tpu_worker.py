@@ -29,11 +29,20 @@ import gc
 
 last_work = time.time()
 
+ALIVE = JOBS / ".alive"
+
 while True:
+    # heartbeat: the keepalive's stall watchdog includes this file in its
+    # "anything recent?" find set, so a long-running job that writes nothing
+    # to disk for >40 min (slow tunnel day) isn't killed mid-run. Touched per
+    # poll pass, not per job, so a WEDGED worker (dropped RPC never raising)
+    # still goes stale and gets killed.
+    ALIVE.write_text(str(time.time()))
     for job in sorted(JOBS.glob("*.py")):
         out_path = job.with_suffix(".out")
         if out_path.exists():
             continue
+        ALIVE.write_text(str(time.time()))  # job start resets the stall clock
         buf = io.StringIO()
         t0 = time.time()
         try:

@@ -16,6 +16,9 @@ while true; do
     # 40 min clears the longest observed legitimate quiet period (a 27-29
     # min cold remote-compile).
     if grep -q tpu_worker "/proc/$pid/cmdline" 2>/dev/null; then
+      # tools/jobs/.alive is the worker's heartbeat (touched per poll pass
+      # and at each job start) so a job's quiet compute period only counts
+      # from the job's start, not from the previous job's last write.
       recent=$(find tools/jobs outputs .jax_cache -newermt "-40 minutes" \
                  -print -quit 2>/dev/null)
       pending_w=0
@@ -28,6 +31,13 @@ while true; do
         kill "$pid" 2>/dev/null
         sleep 10
         kill -9 "$pid" 2>/dev/null
+        # a SIGKILL mid-cache-write leaves a CORRUPT .jax_cache entry that
+        # SIGABRTs every later reader (CLAUDE.md hazard). Scrub anything the
+        # dead worker may have been writing. Window is generous: corrupt
+        # entries only come from in-flight writes, and re-compiling a few
+        # evicted entries is cheap next to a crash-loop.
+        find .jax_cache -type f -newermt "-45 minutes" -delete 2>/dev/null
+        echo "$(date -u +%H:%M:%S) watchdog: scrubbed recent .jax_cache entries" >> tools/keepalive.log
       fi
     fi
     sleep 30

@@ -114,8 +114,10 @@ def translation_direction_loss(pred_t: jnp.ndarray,
     metric itself is undefined there) and are masked out. Norms use a
     smoothed sqrt so the gradient stays finite at pred_t = 0.
     """
-    pn = jnp.sqrt((pred_t.astype(jnp.float32) ** 2).sum(-1) + 1e-12)
-    gn = jnp.sqrt((gt_t.astype(jnp.float32) ** 2).sum(-1) + 1e-12)
+    pred_t = pred_t.astype(jnp.float32)
+    gt_t = gt_t.astype(jnp.float32)
+    pn = jnp.sqrt((pred_t ** 2).sum(-1) + 1e-12)
+    gn = jnp.sqrt((gt_t ** 2).sum(-1) + 1e-12)
     cos = (pred_t * gt_t).sum(-1) / (pn * gn)
     valid = (gn > 1e-4).astype(cos.dtype)
     return ((1.0 - cos) * valid).sum() / jnp.maximum(valid.sum(), 1.0)

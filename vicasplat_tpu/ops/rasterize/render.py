@@ -54,6 +54,11 @@ class RasterizeConfig:
     # each tile's KH*KW neighbor segments with an in-graph bitonic network
     # (tiles.bin_splats_origin) — less than half the lax.sort volume.
     binning: str = "dup_sort"
+    # Unroll the per-view loop at trace time instead of lax.map. Gives XLA
+    # the whole multi-view graph to schedule (cross-view DMA/compute overlap
+    # a rolled loop body can't express) at the cost of V x compile time and
+    # V x the binning live range. Opt-in; measured in tools/jobs round 5.
+    unroll_views: bool = False
 
 
 def render_view(
@@ -269,5 +274,11 @@ def render(
             cov6=cov6,
         )
 
-    color, depth, alpha = jax.lax.map(body, (viewmats, intrinsics))
+    if cfg.unroll_views:
+        outs = [body((viewmats[v], intrinsics[v]))
+                for v in range(viewmats.shape[0])]
+        color, depth, alpha = (jnp.stack([o[i] for o in outs])
+                               for i in range(3))
+    else:
+        color, depth, alpha = jax.lax.map(body, (viewmats, intrinsics))
     return color, depth, alpha

@@ -106,9 +106,12 @@ def main():
         run(base_n), run(n_iters)  # compile + first-dispatch warmup
         # difference the per-phase MINIMA (not min of paired differences):
         # tunnel jitter is one-sided ~50 ms spikes, so pairing a jittered
-        # base run with a clean long run biases the estimate low
-        t_base = min(run(base_n) for _ in range(2))
-        t_n = min(run(n_iters) for _ in range(2))
+        # base run with a clean long run biases the estimate low. Five
+        # repeats per phase (was two): with ~50 ms one-sided spikes a
+        # 2-repeat min still lands on a spike often enough to flip the
+        # vs_baseline line (r4: 100.33 ms vs r2/r3's 96.8/97.5).
+        t_base = min(run(base_n) for _ in range(5))
+        t_n = min(run(n_iters) for _ in range(5))
         dt = (t_n - t_base) / (n_iters - base_n)
     except Exception as e:  # pragma: no cover - tunnel-dependent
         # The axon pool's remote-compile service drops very long compile

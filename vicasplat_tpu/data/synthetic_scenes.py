@@ -47,6 +47,13 @@ class SyntheticScenesConfig:
     # memorized train trajectories exactly: trans err 0.27 deg train vs
     # 81 deg test — tools/diag_pose_train_vs_test.py)
     augment: bool = False
+    # spatial-frequency multiplier for the procedural textures (backdrop
+    # color waves + its height ripple). 1.0 = the original low-frequency
+    # blobs; >1 adds high-frequency content so NVS PSNR has headroom to
+    # discriminate (round-5 K-ablation, judge r4 weak #3). Changing it
+    # changes the dataset — keep 1.0 for runs compared against committed
+    # v5/v6 numbers.
+    texture_detail: float = 1.0
 
 
 def _look_at(eye: np.ndarray, center: np.ndarray, up: np.ndarray):
@@ -87,12 +94,13 @@ def scene_gaussians(rng: np.random.Generator, cfg: SyntheticScenesConfig):
     # backdrop: a wall at z ~ 5.5 spanning the frustum
     bx = rng.uniform(-4.5, 4.5, n_back)
     by = rng.uniform(-3.5, 3.5, n_back)
-    bz = 5.5 + 0.2 * np.sin(3.0 * bx) * np.cos(2.0 * by)
+    td = cfg.texture_detail
+    bz = 5.5 + 0.2 * np.sin(3.0 * td * bx) * np.cos(2.0 * td * by)
     b_means = np.stack([bx, by, bz], -1)
     b_colors = np.stack([
-        0.5 * np.sin(2.5 * bx) + 0.2 * np.cos(4.0 * by),
-        0.5 * np.cos(1.7 * bx + 2.0 * by),
-        0.4 * np.sin(3.3 * by),
+        0.5 * np.sin(2.5 * td * bx) + 0.2 * np.cos(4.0 * td * by),
+        0.5 * np.cos(1.7 * td * bx + 2.0 * td * by),
+        0.4 * np.sin(3.3 * td * by),
     ], -1) + rng.normal(0, 0.25, (n_back, 3))
     b_scales = np.exp(rng.normal(np.log(0.12), 0.3, (n_back, 3)))
 

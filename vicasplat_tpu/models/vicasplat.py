@@ -63,6 +63,12 @@ class VicaSplatConfig:
     # DPT full-res tail backend: "xla" | "pallas" | "auto" (fused pallas
     # kernel on accelerators — ops/dpt_tail.py)
     head_tail_backend: str = "xla"
+    # Opt-in DPT-head stabilization for training from RANDOM init
+    # (heads.DPTConfig.stabilize: RCU LayerScale + trunk-output LayerNorm).
+    # Off = reference-parity layout; released-checkpoint conversion needs
+    # it off. The extra params live only under the head subtrees, so a
+    # stabilized head can still warm-start everything else.
+    dpt_stabilize: bool = False
 
     @property
     def camera_extrinsic_channels(self) -> int:
@@ -84,6 +90,7 @@ def init_vicasplat(key, cfg: VicaSplatConfig):
         num_channels=3 + (1 if cfg.predict_conf else 0),
         head_type="regression",
         patch_size=bb.patch_size,
+        stabilize=cfg.dpt_stabilize,
     )
     gs_cfg = DPTConfig(
         hook_dims=hook_dims,
@@ -91,6 +98,7 @@ def init_vicasplat(key, cfg: VicaSplatConfig):
         head_type="gs_params",
         patch_size=bb.patch_size,
         use_input_merger=True,
+        stabilize=cfg.dpt_stabilize,
     )
     if cfg.gs_center_head_type == "dpt":
         center_head = init_dpt(k_h1, center_cfg)

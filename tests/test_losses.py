@@ -107,3 +107,29 @@ class TestCameraLossDirectionTerm:
         exact = camera_loss(pred, gt_c2w, cfg=cfg)
         flipped = pred.at[..., 4:7].multiply(-1.0)
         assert float(camera_loss(flipped, gt_c2w, cfg=cfg)) > float(exact)
+
+
+def test_lpips_random_fallback():
+    """make_lpips_fn(allow_random=True) backs the full LPIPS graph with
+    seeded-random VGG features when no weights exist: zero for identical
+    images, positive and ordered for increasing corruption, jittable."""
+    import jax
+    import jax.numpy as jnp
+
+    from vicasplat_tpu.loss.lpips import make_lpips_fn
+
+    fn = jax.jit(make_lpips_fn(weights_path="/nonexistent/lpips.pkl",
+                               allow_random=True))
+    k = jax.random.PRNGKey(0)
+    img = jax.random.uniform(k, (1, 32, 32, 3))
+    d0 = float(fn(img, img))
+    assert abs(d0) < 1e-6
+    noise = jax.random.normal(jax.random.PRNGKey(1), img.shape)
+    d_small = float(fn(jnp.clip(img + 0.05 * noise, 0, 1), img))
+    d_big = float(fn(jnp.clip(img + 0.4 * noise, 0, 1), img))
+    assert 0 < d_small < d_big
+    # deterministic across constructions (seeded)
+    fn2 = make_lpips_fn(weights_path="/nonexistent/lpips.pkl",
+                        allow_random=True)
+    assert abs(float(fn2(jnp.clip(img + 0.05 * noise, 0, 1), img))
+               - d_small) < 1e-5

@@ -91,14 +91,57 @@ def lpips_distance(params, pred, target):
 _DEFAULT_WEIGHTS = pathlib.Path(__file__).parent / "weights" / "lpips_vgg.pkl"
 
 
-def make_lpips_fn(weights_path: Optional[str] = None):
-    """Returns a jittable (pred, target) -> scalar, or raises if no weights."""
+def init_random_lpips(key) -> dict:
+    """Seeded-random VGG16 + uniform lins in the LPIPS param layout.
+
+    NOT the trained metric: random conv features are a documented stand-in
+    (random deep features still measure structured distance far better
+    than pixel L2 — Zhang et al. 2018 report trained >> random >> L2) so
+    the LPIPS *pipeline* (loss gate, metric plumbing, serving) can be
+    driven end-to-end in an environment where the VGG weights are
+    unobtainable. Real evaluations must convert real weights
+    (convert_lpips_torch_state).
+    """
+    params = {"convs": [], "lins": []}
+    c_in = 3
+    for c_out, n_convs in _VGG_STAGES:
+        for _ in range(n_convs):
+            key, k1 = jax.random.split(key)
+            fan_in = 3 * 3 * c_in
+            w = jax.random.normal(k1, (3, 3, c_in, c_out), jnp.float32)
+            w = w * np.sqrt(2.0 / fan_in)
+            params["convs"].append({"w": w,
+                                    "b": jnp.zeros((c_out,), jnp.float32)})
+            c_in = c_out
+        # one lin head per STAGE output (channels = stage width)
+        params["lins"].append(
+            jnp.full((c_out,), 1.0 / c_out, jnp.float32))
+    return params
+
+
+def make_lpips_fn(weights_path: Optional[str] = None,
+                  allow_random: bool = False, seed: int = 0):
+    """Returns a jittable (pred, target) -> scalar.
+
+    Raises if no weights file exists, unless allow_random=True — then a
+    seeded-random VGG (init_random_lpips) backs the same graph, clearly a
+    pipeline stand-in rather than the trained perceptual metric.
+    """
     path = pathlib.Path(weights_path) if weights_path else _DEFAULT_WEIGHTS
     if not path.exists():
+        if allow_random:
+            import sys
+
+            print("lpips: weights not found; using SEEDED-RANDOM VGG "
+                  "features (pipeline stand-in, not the trained metric)",
+                  file=sys.stderr)
+            params = init_random_lpips(jax.random.PRNGKey(seed))
+            return lambda pred, target: lpips_distance(params, pred, target)
         raise FileNotFoundError(
             f"LPIPS VGG weights not found at {path}. Convert them once with: "
             "python -m vicasplat_tpu.loss.lpips <torch_lpips_state.pth> "
-            f"{_DEFAULT_WEIGHTS}"
+            f"{_DEFAULT_WEIGHTS} (or pass allow_random=True for a seeded "
+            "random-feature stand-in)"
         )
     with open(path, "rb") as f:
         params = pickle.load(f)

@@ -26,7 +26,9 @@ sys.path.insert(0, "/root/repo/tools")
 import numpy as np
 
 
-def main():
+def main(argv=None):
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
@@ -36,11 +38,23 @@ def main():
     from vicasplat_tpu.models.vicasplat import vicasplat_forward
     from vicasplat_tpu.utils.config import load_config
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt_dir", default="",
+                    help="orbax ckpt dir (e.g. the v7 ckpts_v7_dir); "
+                         "default = newest v6 segment ckpt")
+    ap.add_argument("--out_name", default="diag_trans_dir.json")
+    args = ap.parse_args(argv)
+
     cfg = load_config(
         "/root/repo/configs/main.yaml", experiment="synthetic_pose",
         overrides=[f"dataset.synthetic.n_scenes={pose_segments.N_SCENES}"])
     pose_segments.bootstrap_from_committed(cfg)
-    ckpt = pose_segments.newest_ckpt(pose_segments.N_SEGMENTS + 1)
+    if args.ckpt_dir:
+        from vicasplat_tpu.utils.checkpointing import CheckpointManager
+
+        ckpt = CheckpointManager(args.ckpt_dir, keep=5).latest()
+    else:
+        ckpt = pose_segments.newest_ckpt(pose_segments.N_SEGMENTS + 1)
     print("ckpt:", ckpt)
     from vicasplat_tpu.utils.checkpointing import load_weights
 
@@ -118,9 +132,38 @@ def main():
             (A2 * B).sum(-1), -1, 1))))
         print(f"  scene {s}: {e_raw:6.1f} | {e_al:6.1f}")
 
-    out = pathlib.Path("/root/repo/outputs/tpu_pose_proof/v2_synthetic/"
-                       "diag_trans_dir.json")
+    # gauge ceiling: pose_auc of max(rot ~3deg, trans err) with each
+    # scene's single best-fit rotation applied — the upper bound on what
+    # fixing ONLY the per-scene gauge rotation buys
+    err_cor = np.zeros_like(err)
+    for s in sorted({r["scene"] for r in rows}):
+        ii = [k for k, r in enumerate(rows) if r["scene"] == s]
+        A, B = DP[ii], DG[ii]
+        U, _, Vt = np.linalg.svd(A.T @ B)
+        sgn = np.sign(np.linalg.det(Vt.T @ U.T))
+        R = Vt.T @ np.diag([1, 1, sgn]) @ U.T
+        err_cor[ii] = np.degrees(np.arccos(np.clip(
+            (((R @ A.T).T) * B).sum(-1), -1, 1)))
+    from vicasplat_tpu.evaluation.metrics import pose_auc
+
+    rot3 = np.full_like(err, 3.0)
+    auc_raw = pose_auc(np.maximum(rot3, err), (5, 10, 20, 30))
+    auc_cor = pose_auc(np.maximum(rot3, err_cor), (5, 10, 20, 30))
+    gauge = {
+        "note": "pose_auc of max(rot~3deg, trans_err), raw vs per-scene "
+                "Kabsch-corrected directions",
+        "raw": dict(zip(["auc@5", "auc@10", "auc@20", "auc@30"],
+                        [round(a, 4) for a in auc_raw])),
+        "gauge_corrected": dict(zip(["auc@5", "auc@10", "auc@20", "auc@30"],
+                                    [round(a, 4) for a in auc_cor])),
+    }
+    print("gauge ceiling:", gauge["raw"]["auc@30"], "->",
+          gauge["gauge_corrected"]["auc@30"])
+
+    out = pathlib.Path("/root/repo/outputs/tpu_pose_proof/v2_synthetic"
+                       ) / args.out_name
     out.write_text(json.dumps({
+        "gauge_ceiling": gauge,
         "ckpt": str(ckpt), "n_pairs": len(rows),
         "err_mean": float(err.mean()), "err_median": float(np.median(err)),
         "frac_lt30": float((err < 30).mean()),

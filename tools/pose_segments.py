@@ -184,7 +184,10 @@ def committed_segment() -> int:
 
 
 def run_dir_finetune(steps: int = 12000,
-                     dir_weight: float = 1.0) -> None:
+                     dir_weight: float = 1.0,
+                     base_ckpt_dir=None,
+                     base_steps_k=None,
+                     version_tag: str = "v7") -> None:
     """v7 exploration: fine-tune the newest v6 checkpoint with the
     translation-DIRECTION auxiliary loss (loss/losses.py
     translation_direction_loss) for one SGDR segment, then run the held-out
@@ -203,7 +206,7 @@ def run_dir_finetune(steps: int = 12000,
     from vicasplat_tpu.utils.checkpointing import (
         CheckpointManager, load_weights)
 
-    ckpt_dir = CKPT_ROOT / "ckpts_v7_dir"
+    ckpt_dir = CKPT_ROOT / f"ckpts_{version_tag}_dir"
     base_overrides = [
         f"dataset.synthetic.n_scenes={N_SCENES}",
         "dataset.synthetic.augment=true",
@@ -213,8 +216,8 @@ def run_dir_finetune(steps: int = 12000,
         f"trainer.max_steps={steps}",
         "checkpointing.every_n_train_steps=6000",
         f"checkpointing.output_dir={ckpt_dir.relative_to(ROOT)}",
-        "output_dir=outputs/synthetic_pose_v7/dir_ft",
-        "test.output_path=outputs/synthetic_pose_v7/dir_ft/eval",
+        f"output_dir=outputs/synthetic_pose_{version_tag}/dir_ft",
+        f"test.output_path=outputs/synthetic_pose_{version_tag}/dir_ft/eval",
     ]
     cfg = load_config(str(ROOT / "configs/main.yaml"),
                       experiment="synthetic_pose", overrides=base_overrides)
@@ -222,13 +225,18 @@ def run_dir_finetune(steps: int = 12000,
 
     done = CheckpointManager(str(ckpt_dir), keep=5).latest()
     if done is not None and str(steps) in pathlib.Path(done).name:
-        print(f"v7 dir finetune already trained ({done}); eval only",
-              flush=True)
+        print(f"{version_tag} dir finetune already trained ({done}); "
+              "eval only", flush=True)
         warm = None
     else:
-        # warm-start from the newest v6 segment (incl. extensions 6-7)
-        warm = newest_ckpt(7)
-        print(f"v7 dir finetune: warm-start from {warm}", flush=True)
+        # warm-start: explicit base dir (e.g. a previous dir-ft stage) or
+        # the newest v6 segment (incl. extensions 6-7)
+        if base_ckpt_dir is not None:
+            warm = CheckpointManager(str(base_ckpt_dir), keep=5).latest()
+        else:
+            warm = newest_ckpt(7)
+        print(f"{version_tag} dir finetune: warm-start from {warm}",
+              flush=True)
         assert warm is not None, "no v6 checkpoint to fine-tune from"
         step_m = re.search(r"(\d+)", pathlib.Path(str(warm)).name)
         if step_m and int(step_m.group(1)) != SEG_STEPS:
@@ -248,13 +256,17 @@ def run_dir_finetune(steps: int = 12000,
     # base_k comes from the warm checkpoint actually used (eval-only branch:
     # re-derive it via newest_ckpt), NOT from seg-dir existence — an empty
     # dir left by a crashed run would inflate the published tag by 12k.
-    base_ckpt = warm if warm is not None else newest_ckpt(7)
-    seg_m = re.search(rf"ckpts_{VERSION}_seg(\d+)", str(base_ckpt))
-    if seg_m is None:
-        raise RuntimeError(
-            f"cannot derive base segment from warm ckpt path {base_ckpt}")
-    base_k = (int(seg_m.group(1)) + 1) * SEG_STEPS // 1000
-    tag = f"trained_{N_SCENES}scenes_{base_k}k_plus_dirft{steps // 1000}k_v7"
+    if base_steps_k is not None:
+        base_k = int(base_steps_k)
+    else:
+        base_ckpt = warm if warm is not None else newest_ckpt(7)
+        seg_m = re.search(rf"ckpts_{VERSION}_seg(\d+)", str(base_ckpt))
+        if seg_m is None:
+            raise RuntimeError(
+                f"cannot derive base segment from warm ckpt path {base_ckpt}")
+        base_k = (int(seg_m.group(1)) + 1) * SEG_STEPS // 1000
+    tag = (f"trained_{N_SCENES}scenes_{base_k}k_plus_dirft{steps // 1000}k_"
+           f"{version_tag}")
     out = ROOT / "outputs/tpu_pose_proof/v2_synthetic" / tag
     ev = PoseEvaluator(params, cfg.encoder, cfg.decoder,
                        PoseEvalConfig(output_path=str(out)))
@@ -278,14 +290,14 @@ def run_dir_finetune(steps: int = 12000,
 
     prev = json.loads(SUMMARY.read_text())
     prev[tag] = dict(
-        s, config=f"v7 translation-direction fine-tune: {steps // 1000}k "
+        s, config=f"{version_tag} translation-direction fine-tune: {steps // 1000}k "
                   f"steps @ trans_dir_weight={dir_weight} from the newest "
                   f"v6 segment ({base_k}k); tools/pose_segments.py")
     SUMMARY.write_text(json.dumps(prev, indent=2))
-    print(f"v7 auc@30 (dir ft, base {base_k}k):", s.get("auc@30"),
+    print(f"{version_tag} auc@30 (dir ft, base {base_k}k):", s.get("auc@30"),
           flush=True)
 
-    npz = CKPT_ROOT / "ckpt_committed/weights_v7_dir.npz"
+    npz = CKPT_ROOT / f"ckpt_committed/weights_{version_tag}_dir.npz"
     leaves = jax.tree_util.tree_leaves(params)
     payload = {f"arr_{i}": np.asarray(x).astype(np.float16)
                for i, x in enumerate(leaves)}
@@ -298,7 +310,7 @@ def run_dir_finetune(steps: int = 12000,
                        cwd=ROOT, check=True, capture_output=True)
         r = subprocess.run(
             ["git", "commit", "-m",
-             f"Pose v7 direction-loss finetune ({base_k}k+{steps // 1000}k):"
+             f"Pose {version_tag} direction-loss finetune ({base_k}k+{steps // 1000}k):"
              f" auc@30 {float(s.get('auc@30', 0.0)):.3f}, trans dir mean "
              f"{s['trans_err_mean_deg']:.1f} deg (f16 snapshot committed)"],
             cwd=ROOT, check=False, capture_output=True, text=True)

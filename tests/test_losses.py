@@ -133,3 +133,27 @@ def test_lpips_random_fallback():
                         allow_random=True)
     assert abs(float(fn2(jnp.clip(img + 0.05 * noise, 0, 1), img))
                - d_small) < 1e-5
+
+
+def test_ssim_grad_finite_on_constant_windows():
+    """sqrt'(0) in the Cauchy-Schwarz bound made every upstream grad NaN
+    when a window is constant in either image (the empty render of a
+    random-init DPT head). The bound is stop_gradient'ed; grads must stay
+    finite for constant-vs-textured and constant-vs-constant pairs."""
+    import jax
+    import jax.numpy as jnp
+
+    from vicasplat_tpu.loss.ssim import ssim
+
+    key = jax.random.PRNGKey(0)
+    gt = jax.random.uniform(key, (32, 32, 3))
+    zero = jnp.zeros((32, 32, 3))
+
+    g1 = jax.grad(lambda p: ssim(p, gt))(zero)
+    assert bool(jnp.isfinite(g1).all())
+    g2 = jax.grad(lambda p: ssim(p, zero))(zero)
+    assert bool(jnp.isfinite(g2).all())
+    # half-constant image: mixed windows
+    mixed = gt.at[16:].set(0.25)
+    g3 = jax.grad(lambda p: ssim(p, gt))(mixed)
+    assert bool(jnp.isfinite(g3).all())

@@ -63,7 +63,13 @@ def ssim(
     sigma_x = jnp.maximum(crop(_filter2d_separable(x * x, k)) - mu_x2, 0.0)
     sigma_y = jnp.maximum(crop(_filter2d_separable(y * y, k)) - mu_y2, 0.0)
     sigma_xy = crop(_filter2d_separable(x * y, k)) - mu_xy
-    bound = jnp.sqrt(sigma_x * sigma_y)
+    # Cauchy-Schwarz safety clamp. stop_gradient on the bound: sqrt'(0) is
+    # inf exactly where a window is constant in either image (variance 0),
+    # and clip ties sigma_xy=bound=0 there, sending inf*0=NaN into EVERY
+    # upstream parameter. Random-init DPT heads render near-empty frames,
+    # which made 87.5M of 90.5M grads NaN from step 0 (round-5 A/B); the
+    # clamp is a numerical guard, not a path gradients should flow through.
+    bound = jax.lax.stop_gradient(jnp.sqrt(sigma_x * sigma_y))
     sigma_xy = jnp.clip(sigma_xy, -bound, bound)
 
     ssim_map = ((2 * mu_xy + c1) * (2 * sigma_xy + c2)) / (

@@ -106,11 +106,15 @@ def main(argv=None):
     T, S = images.shape[0], args.size
     print(f"overfit scene {args.scene}: {T} frames @ {S}x{S}")
 
-    # Small flagship-shaped backbone with LINEAR pixel-shuffle heads: the
-    # norm-free DPT conv stack diverges from random init (measured: inf
-    # activations within 5 steps at lr 1e-4, clip 0.25 — the reference only
+    # Small flagship-shaped backbone. Default LINEAR pixel-shuffle heads:
+    # the norm-free DPT conv stack develops NaN gradients within ~20 steps
+    # from random init (round-5 A/B, jobs 060/065 — the reference only
     # ever finetunes it from MASt3R weights), while the linear heads read
-    # LayerNorm'd decoder tokens and stay bounded.
+    # LayerNorm'd decoder tokens and stay bounded. --heads dpt
+    # --dpt_stabilize (RCU LayerScale + trunk LayerNorm) trains the DPT
+    # stack NaN-free from scratch. (A separate round-5 catch: the SSIM
+    # loss itself emitted NaN grads on constant windows of near-empty
+    # renders — fixed in loss/ssim.py; both fixes were needed.)
     cfg = VicaSplatConfig(
         backbone=VicaNetConfig(
             img_size=S, enc_embed_dim=384, enc_depth=12, enc_num_heads=6,

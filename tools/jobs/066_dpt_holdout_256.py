@@ -18,7 +18,7 @@ for m in [k for k in sys.modules if k.startswith("vicasplat_tpu")
 
 from tools.overfit_real_scene import main
 
-main(["--scene", "6c99592614256138", "--size", "256", "--steps", "10000",
+main(["--scene", "6c99592614256138", "--size", "256", "--steps", "8000",
       "--log_every", "500", "--frame_curriculum", "600",
       "--pose_only_warmup", "--holdout", "2,5", "--save_ckpt",
       "--heads", "dpt", "--dpt_stabilize", "--tag", "_dpt256"])

@@ -165,6 +165,13 @@ def main(argv=None):
                   f"gnorm {float(gnorm):.3g}  "
                   f"({time.perf_counter() - t0:.0f}s)", flush=True)
             history.append({"step": i, "loss": loss, "psnr": psnr})
+            # liveness for the worker's stall watchdog (see
+            # overfit_real_scene.py — long runs are silent on disk)
+            try:
+                pathlib.Path("/root/repo/tools/jobs/.alive").write_text(
+                    str(time.time()))
+            except OSError:
+                pass
     wall = time.perf_counter() - t0
     print(f"trained {args.steps} steps in {wall:.0f}s "
           f"({args.steps / wall:.2f} it/s)")

@@ -238,6 +238,14 @@ def main(argv=None):
                   f"gnorm {float(gnorm):.3g}  nan_grads {int(n_bad)}  "
                   f"({time.perf_counter() - t0:.0f}s)", flush=True)
             history.append({"step": i, "loss": loss, "psnr": psnr})
+            # liveness for the worker's stall watchdog: a long run is
+            # otherwise silent on disk (stdout is buffered to the .out
+            # only at job end) and gets killed at the 40-min mark
+            try:
+                pathlib.Path("/root/repo/tools/jobs/.alive").write_text(
+                    str(time.time()))
+            except OSError:
+                pass
     wall = time.perf_counter() - t0
     print(f"trained {args.steps} steps in {wall:.0f}s "
           f"({args.steps / wall:.2f} it/s)")

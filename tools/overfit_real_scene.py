@@ -77,6 +77,13 @@ def parse_args(argv=None):
     # DPTConfig.stabilize: RCU LayerScale + trunk LayerNorm, the opt-in
     # that lets the norm-free DPT stack train from random init
     ap.add_argument("--dpt_stabilize", action="store_true")
+    # adapter scale activation. The reference's 0.001*softplus is a
+    # FINETUNING-regime map: at random init every splat is ~0.7 mm and can
+    # cull to a zero-gradient render (the 256^2 DPT run: gnorm exactly 0
+    # for 8k steps). "bounded" (0.005-0.04 sigmoid) keeps random-init
+    # splats visible so photometric gradients exist from step 0.
+    ap.add_argument("--scale_act", default="softplus",
+                    choices=["softplus", "bounded", "exp"])
     return ap.parse_args(argv)
 
 
@@ -120,7 +127,8 @@ def main(argv=None):
             img_size=S, enc_embed_dim=384, enc_depth=12, enc_num_heads=6,
             dec_embed_dim=384, dec_depth=6, dec_num_heads=6,
         ),
-        gaussian_adapter=GaussianAdapterConfig(sh_degree=2),
+        gaussian_adapter=GaussianAdapterConfig(sh_degree=2,
+                                               scale_act=args.scale_act),
         gs_center_head_type="dpt" if args.heads == "dpt" else "linear",
         gs_param_head_type="dpt_gs" if args.heads == "dpt" else "linear",
         dpt_stabilize=args.dpt_stabilize,
